@@ -1,0 +1,46 @@
+"""Padding helpers for full-image inference.
+
+Two reference behaviors, both reproduced exactly:
+  * `pad_to_multiple_flip` — the test-time "flip pad": append the
+    spatially flipped image and crop to the target size
+    (/root/reference/test.py:100-104). Equivalent to symmetric padding.
+  * `pad_to_multiple_reflect` — demo-time reflect pad to a multiple of 8
+    (/root/reference/demo.py:17-24), torch `F.pad(mode="reflect")`.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def target_size(h: int, w: int, base: int) -> tuple[int, int]:
+    return (
+        (h + base - 1) // base * base,
+        (w + base - 1) // base * base,
+    )
+
+
+def pad_to_multiple_flip(x: jnp.ndarray, base: int = 64) -> jnp.ndarray:
+    """NHWC flip-concat pad so H and W are multiples of `base`."""
+    _, h, w, _ = x.shape
+    th, tw = target_size(h, w, base)
+    if th != h:
+        x = jnp.concatenate([x, x[:, ::-1, :, :]], axis=1)[:, :th]
+    if tw != w:
+        x = jnp.concatenate([x, x[:, :, ::-1, :]], axis=2)[:, :, :tw]
+    return x
+
+
+def pad_to_multiple_reflect(x: jnp.ndarray, base: int = 8) -> jnp.ndarray:
+    """NHWC reflect pad (no edge duplication) to multiples of `base`."""
+    _, h, w, _ = x.shape
+    th, tw = target_size(h, w, base)
+    return jnp.pad(
+        x,
+        ((0, 0), (0, th - h), (0, tw - w), (0, 0)),
+        mode="reflect",
+    )
+
+
+def crop(x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    return x[:, :h, :w, :]

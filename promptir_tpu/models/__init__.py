@@ -1,0 +1,36 @@
+"""Model zoo registry.
+
+Mirrors the reference's model selection surface
+(/root/reference/train.py:310-326, options `--model`): each entry maps the
+reference CLI name to a constructor returning a flax module.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict
+
+_REGISTRY: Dict[str, Callable[..., Any]] = {}
+
+
+def register_model(name: str):
+    def deco(fn):
+        _REGISTRY[name] = fn
+        return fn
+
+    return deco
+
+
+def create_model(name: str, **kwargs):
+    if name not in _REGISTRY:
+        raise KeyError(
+            f"unknown model {name!r}; available: {sorted(_REGISTRY)}"
+        )
+    return _REGISTRY[name](**kwargs)
+
+
+def available_models():
+    return sorted(_REGISTRY)
+
+
+# Import model families for registration side-effects.
+from promptir_tpu.models import promptir as _promptir  # noqa: E402,F401

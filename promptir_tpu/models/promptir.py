@@ -1,0 +1,182 @@
+"""Canonical PromptIR: 4-level Restormer U-Net + degradation prompt bank.
+
+Behavioral parity with /root/reference/net/model.py:244-380, including its
+quirks, so the released checkpoint maps 1:1:
+  * asymmetric decoder: `up4_3 = Upsample(192)` (not 384) and
+    `reduce_chan_level3: 96+192 -> 192` (model.py:293-294);
+  * decoder level 1 runs at 96 channels with NO reduce after up2_1
+    (model.py:310-316);
+  * prompts (dim 64/128/320, len 5, size 64/32/16) injected after the
+    latent and decoder levels 3/2 via a widened TransformerBlock + 1x1
+    reduce (model.py:265-268,295-313,339-367);
+  * `noise_level{3,2,1}` all use heads[2]=4 (model.py:295,304,312);
+  * dead layers chnl_reduce{1,2,3} / reduce_noise_channel_{1,2,3} exist in
+    the param tree but are never applied (model.py:271-287);
+  * global residual: output conv + input image (model.py:377).
+
+Layout: NHWC. Sequential stacks are named `<stack>_<i>` (torch key
+`<stack>.<i>.*`); the compat converter handles the separator.
+"""
+
+from __future__ import annotations
+
+from dataclasses import field
+from typing import Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from promptir_tpu.models import register_model
+from promptir_tpu.models.blocks import DeadConv, TransformerBlock
+from promptir_tpu.ops.conv import Conv
+from promptir_tpu.ops.embed import OverlapPatchEmbed
+from promptir_tpu.ops.prompt import PromptGenBlock
+from promptir_tpu.ops.resample import Downsample, Upsample
+
+
+class PromptIR(nn.Module):
+    inp_channels: int = 3
+    out_channels: int = 3
+    dim: int = 48
+    num_blocks: Sequence[int] = (4, 6, 6, 8)
+    num_refinement_blocks: int = 4
+    heads: Sequence[int] = (1, 2, 4, 8)
+    expansion: float = 2.66
+    use_bias: bool = False
+    bias_free_norm: bool = False
+    decoder: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    def _stack(self, name: str, n: int, dim: int, heads: int):
+        common = dict(
+            dim=dim,
+            num_heads=heads,
+            expansion=self.expansion,
+            use_bias=self.use_bias,
+            bias_free_norm=self.bias_free_norm,
+            dtype=self.dtype,
+        )
+        return [TransformerBlock(**common, name=f"{name}_{i}") for i in range(n)]
+
+    @nn.compact
+    def __call__(self, inp_img: jnp.ndarray) -> jnp.ndarray:
+        d = self.dim
+        nb = self.num_blocks
+        hs = self.heads
+        conv = lambda cout, k, name: Conv(  # noqa: E731
+            cout,
+            (k, k),
+            padding=((k // 2, k // 2), (k // 2, k // 2)),
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            name=name,
+        )
+
+        # --- dead layers (checkpoint parity only; XLA removes them) ---
+        DeadConv(64, 64, self.use_bias, name="chnl_reduce1")()
+        DeadConv(128, 128, self.use_bias, name="chnl_reduce2")()
+        DeadConv(320, 256, self.use_bias, name="chnl_reduce3")()
+        DeadConv(d + 64, d, self.use_bias, name="reduce_noise_channel_1")()
+        DeadConv(2 * d + 128, 2 * d, self.use_bias, name="reduce_noise_channel_2")()
+        DeadConv(4 * d + 256, 4 * d, self.use_bias, name="reduce_noise_channel_3")()
+
+        x = OverlapPatchEmbed(d, self.use_bias, self.dtype, name="patch_embed")(
+            inp_img.astype(self.dtype)
+        )
+
+        # --- encoder ---
+        for blk in self._stack("encoder_level1", nb[0], d, hs[0]):
+            x = blk(x)
+        enc1 = x
+        x = Downsample(d, self.dtype, name="down1_2")(x)
+        for blk in self._stack("encoder_level2", nb[1], 2 * d, hs[1]):
+            x = blk(x)
+        enc2 = x
+        x = Downsample(2 * d, self.dtype, name="down2_3")(x)
+        for blk in self._stack("encoder_level3", nb[2], 4 * d, hs[2]):
+            x = blk(x)
+        enc3 = x
+        x = Downsample(4 * d, self.dtype, name="down3_4")(x)
+        for blk in self._stack("latent", nb[3], 8 * d, hs[3]):
+            x = blk(x)
+
+        # --- prompt injection at the latent (level-3 prompt) ---
+        if self.decoder:
+            p3 = PromptGenBlock(
+                320, 5, 16, 8 * d, dtype=self.dtype, name="prompt3"
+            )(x)
+            x = jnp.concatenate([x, p3], axis=-1)
+            x = TransformerBlock(
+                8 * d + 320,
+                hs[2],
+                self.expansion,
+                self.use_bias,
+                self.bias_free_norm,
+                self.dtype,
+                name="noise_level3",
+            )(x)
+            x = conv(4 * d, 1, "reduce_noise_level3")(x)
+
+        # --- decoder level 3 ---
+        x = Upsample(4 * d, self.dtype, name="up4_3")(x)
+        x = jnp.concatenate([x, enc3], axis=-1)
+        x = conv(4 * d, 1, "reduce_chan_level3")(x)
+        for blk in self._stack("decoder_level3", nb[2], 4 * d, hs[2]):
+            x = blk(x)
+
+        if self.decoder:
+            p2 = PromptGenBlock(
+                128, 5, 32, 4 * d, dtype=self.dtype, name="prompt2"
+            )(x)
+            x = jnp.concatenate([x, p2], axis=-1)
+            x = TransformerBlock(
+                4 * d + 128,
+                hs[2],
+                self.expansion,
+                self.use_bias,
+                self.bias_free_norm,
+                self.dtype,
+                name="noise_level2",
+            )(x)
+            x = conv(4 * d, 1, "reduce_noise_level2")(x)
+
+        # --- decoder level 2 ---
+        x = Upsample(4 * d, self.dtype, name="up3_2")(x)
+        x = jnp.concatenate([x, enc2], axis=-1)
+        x = conv(2 * d, 1, "reduce_chan_level2")(x)
+        for blk in self._stack("decoder_level2", nb[1], 2 * d, hs[1]):
+            x = blk(x)
+
+        if self.decoder:
+            p1 = PromptGenBlock(
+                64, 5, 64, 2 * d, dtype=self.dtype, name="prompt1"
+            )(x)
+            x = jnp.concatenate([x, p1], axis=-1)
+            x = TransformerBlock(
+                2 * d + 64,
+                hs[2],
+                self.expansion,
+                self.use_bias,
+                self.bias_free_norm,
+                self.dtype,
+                name="noise_level1",
+            )(x)
+            x = conv(2 * d, 1, "reduce_noise_level1")(x)
+
+        # --- decoder level 1 (96ch, no reduce after up) ---
+        x = Upsample(2 * d, self.dtype, name="up2_1")(x)
+        x = jnp.concatenate([x, enc1], axis=-1)
+        for blk in self._stack("decoder_level1", nb[0], 2 * d, hs[0]):
+            x = blk(x)
+        for blk in self._stack(
+            "refinement", self.num_refinement_blocks, 2 * d, hs[0]
+        ):
+            x = blk(x)
+
+        out = conv(self.out_channels, 3, "output")(x)
+        return (out + inp_img.astype(out.dtype)).astype(jnp.float32)
+
+
+@register_model("promptir")
+def _promptir(**kwargs) -> PromptIR:
+    return PromptIR(**kwargs)

@@ -1,0 +1,52 @@
+"""Test configuration: force CPU with 8 virtual devices.
+
+Multi-chip sharding logic (DP psum, halo exchange) is validated on a
+virtual CPU mesh, the standard JAX pattern for testing pjit/shard_map
+without real TPU hardware.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import pathlib
+
+import jax
+import numpy as np
+import pytest
+
+# This JAX build computes convs/dots at reduced precision by default even on
+# CPU; parity tests need true float32 accumulation.
+jax.config.update("jax_default_matmul_precision", "highest")
+
+GOLDEN_DIR = pathlib.Path(__file__).parent / "goldens"
+
+
+class Golden:
+    """A reference-generated parity fixture: input, output, state dict."""
+
+    def __init__(self, name: str):
+        data = np.load(GOLDEN_DIR / f"{name}.npz")
+        self.x = data["x"]  # NCHW float32
+        self.y = data["y"]  # NCHW float32
+        self.state_dict = {
+            k[len("sd::"):]: data[k] for k in data.files if k.startswith("sd::")
+        }
+
+    @property
+    def x_nhwc(self):
+        return self.x.transpose(0, 2, 3, 1)
+
+    @property
+    def y_nhwc(self):
+        return self.y.transpose(0, 2, 3, 1)
+
+
+@pytest.fixture
+def golden():
+    return Golden

@@ -1,0 +1,86 @@
+"""Numerical parity of core ops vs reference-generated goldens.
+
+Each golden fixture was produced by running the reference PyTorch module
+(see tools/gen_goldens.py); here the torch state dict is converted with the
+compat layer and the NHWC/JAX op must reproduce the output.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from promptir_tpu.compat.torch_ckpt import convert_state_dict
+from promptir_tpu.models.blocks import TransformerBlock
+from promptir_tpu.ops import (
+    GDFN,
+    MDTA,
+    Downsample,
+    OverlapPatchEmbed,
+    PromptGenBlock,
+    RestormerLayerNorm,
+    Upsample,
+)
+
+TOL = dict(rtol=2e-5, atol=2e-5)
+
+
+def run(module, g):
+    variables = convert_state_dict(g.state_dict)
+    y = module.apply(variables, jnp.asarray(g.x_nhwc))
+    np.testing.assert_allclose(np.asarray(y), g.y_nhwc, **TOL)
+
+
+def test_layernorm_withbias(golden):
+    g = golden("layernorm_withbias")
+    run(RestormerLayerNorm(48, bias_free=False), g)
+
+
+def test_layernorm_biasfree(golden):
+    g = golden("layernorm_biasfree")
+    run(RestormerLayerNorm(48, bias_free=True), g)
+
+
+def test_mdta_single_head(golden):
+    run(MDTA(48, 1, use_bias=False), golden("mdta_h1"))
+
+
+def test_mdta_multi_head_bias(golden):
+    run(MDTA(64, 4, use_bias=True), golden("mdta_h4"))
+
+
+def test_gdfn(golden):
+    run(GDFN(48, 2.66, use_bias=False), golden("gdfn"))
+
+
+def test_downsample(golden):
+    run(Downsample(48), golden("downsample"))
+
+
+def test_upsample(golden):
+    run(Upsample(48), golden("upsample"))
+
+
+def test_transformer_block(golden):
+    run(TransformerBlock(48, 2, 2.66, use_bias=False), golden("transformer_block"))
+
+
+@pytest.mark.parametrize("case", ["promptgen_up", "promptgen_down"])
+def test_promptgen(golden, case):
+    g = golden(case)
+    run(
+        PromptGenBlock(prompt_dim=32, prompt_len=5, prompt_size=16, lin_dim=48),
+        g,
+    )
+
+
+def test_patch_embed(golden):
+    run(OverlapPatchEmbed(48, use_bias=False), golden("patch_embed"))
+
+
+def test_pixel_shuffle_roundtrip():
+    from promptir_tpu.ops import pixel_shuffle, pixel_unshuffle
+
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 8, 8, 12)))
+    y = pixel_shuffle(pixel_unshuffle(x, 2), 2)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x))
