@@ -1,0 +1,87 @@
+"""Demo CLI — arbitrary-resolution inference on a file or directory.
+
+Parity with /root/reference/demo.py:79-127: `--test_path` (file or dir),
+`--output_path`, `--tile/--tile_size/--tile_overlap`; reflect-pad to a
+multiple of 8 for the non-tiled path (demo.py:17-24), overlap-blend tiling
+for the tiled path (demo.py:26-48) — here compiled and batched.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="promptir_tpu demo inference")
+    p.add_argument("--test_path", required=True)
+    p.add_argument("--output_path", default="output/demo/")
+    p.add_argument("--model", default="promptir")
+    p.add_argument("--ckpt_name", default=None)
+    p.add_argument("--tile", action="store_true")
+    p.add_argument("--tile_size", type=int, default=128)
+    p.add_argument("--tile_overlap", type=int, default=32)
+    p.add_argument("--tile_chunk", type=int, default=8)
+    p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    p.add_argument("--num_blocks", type=int, nargs=4, default=None)
+    p.add_argument("--num_refinement_blocks", type=int, default=None)
+    return p
+
+
+def model_kwargs(args):
+    import jax.numpy as jnp
+
+    kw = {"dtype": jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32}
+    if getattr(args, "num_blocks", None) is not None:
+        kw["num_blocks"] = tuple(args.num_blocks)
+    if getattr(args, "num_refinement_blocks", None) is not None:
+        kw["num_refinement_blocks"] = args.num_refinement_blocks
+    return kw
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from promptir_tpu.cli.test import load_params
+    from promptir_tpu.data.datasets import TestSpecificDataset
+    from promptir_tpu.eval.padding import pad_to_multiple_reflect
+    from promptir_tpu.eval.tiling import tiled_inference
+    from promptir_tpu.models import create_model
+    from promptir_tpu.utils.image_io import save_image
+
+    model = create_model(args.model, **model_kwargs(args))
+    params = load_params(model, args.ckpt_name)
+
+    @jax.jit
+    def model_fn(p, x):
+        return model.apply({"params": p}, x)
+
+    os.makedirs(args.output_path, exist_ok=True)
+    ds = TestSpecificDataset(args.test_path)
+    for i in range(len(ds)):
+        name, img = ds.get(i)
+        x = jnp.asarray(img[None])
+        h, w = img.shape[:2]
+        if args.tile:
+            y = tiled_inference(
+                model_fn,
+                params,
+                x,
+                tile=args.tile_size,
+                overlap=args.tile_overlap,
+                chunk=args.tile_chunk,
+            )
+        else:
+            xp = pad_to_multiple_reflect(x, 8)
+            y = jnp.clip(model_fn(params, xp)[:, :h, :w, :], 0.0, 1.0)
+        out = os.path.join(args.output_path, f"{name}.png")
+        save_image(out, np.asarray(y[0]))
+        print(f"{name}: {img.shape[1]}x{img.shape[0]} -> {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,100 @@
+"""Evaluation CLI — the framework's `python test.py --mode {0,1,2,3}`.
+
+Parity with /root/reference/test.py:167-259: mode 0 denoise (sigma 15/25/
+50), 1 derain, 2 dehaze, 3 all-in-one; fixed seeds; loads either a
+converted PyTorch/Lightning .ckpt (via the compat layer) or a native
+Orbax/npz checkpoint; reports PSNR/SSIM per set and saves restored PNGs.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="promptir_tpu evaluation")
+    p.add_argument("--mode", type=int, default=0, choices=[0, 1, 2, 3])
+    p.add_argument("--model", default="promptir")
+    p.add_argument("--ckpt_name", default=None, help=".ckpt/.pt/.npz weights")
+    p.add_argument("--denoise_path", default="test/denoise/bsd68/")
+    p.add_argument("--derain_path", default="test/derain/")
+    p.add_argument("--dehaze_path", default="test/dehaze/")
+    p.add_argument("--output_path", default="output/")
+    p.add_argument("--pad_base", type=int, default=64)
+    p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--num_blocks", type=int, nargs=4, default=None)
+    p.add_argument("--num_refinement_blocks", type=int, default=None)
+    return p
+
+
+def load_params(model, ckpt_name, sample_shape=(1, 64, 64, 3)):
+    import jax
+    import jax.numpy as jnp
+
+    if ckpt_name is None:
+        print("WARNING: no checkpoint given; using random init")
+        return model.init(jax.random.PRNGKey(0), jnp.zeros(sample_shape))["params"]
+    if ckpt_name.endswith(".npz"):
+        from promptir_tpu.train.checkpoints import load_params_npz
+
+        return load_params_npz(ckpt_name)
+    from promptir_tpu.compat.torch_ckpt import (
+        convert_state_dict,
+        load_torch_state_dict,
+    )
+
+    return convert_state_dict(load_torch_state_dict(ckpt_name))["params"]
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    np.random.seed(args.seed)  # reference seeds np/torch (test.py:183-184)
+
+    from promptir_tpu.data.datasets import DenoiseTestDataset, DerainDehazeDataset
+    from promptir_tpu.eval.runner import test_denoise, test_derain_dehaze
+    from promptir_tpu.models import create_model
+
+    from promptir_tpu.cli.demo import model_kwargs
+
+    model = create_model(args.model, **model_kwargs(args))
+    params = load_params(model, args.ckpt_name)
+
+    @jax.jit
+    def model_fn(p, x):
+        return model.apply({"params": p}, x)
+
+    results = {}
+    if args.mode in (0, 3):
+        ds = DenoiseTestDataset(args.denoise_path)
+        for sigma in (15, 25, 50):
+            r = test_denoise(
+                model_fn, params, ds, sigma, args.output_path, args.pad_base
+            )
+            results[f"denoise_{sigma}"] = r
+    if args.mode in (1, 3):
+        ds = DerainDehazeDataset(
+            derain_path=args.derain_path, dehaze_path=args.dehaze_path,
+            task="derain",
+        )
+        results["derain"] = test_derain_dehaze(
+            model_fn, params, ds, "derain", args.output_path, args.pad_base
+        )
+    if args.mode in (2, 3):
+        ds = DerainDehazeDataset(
+            derain_path=args.derain_path, dehaze_path=args.dehaze_path,
+            task="dehaze",
+        )
+        results["dehaze"] = test_derain_dehaze(
+            model_fn, params, ds, "dehaze", args.output_path, args.pad_base
+        )
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,116 @@
+"""Training CLI — the framework's `python train.py`.
+
+Flag parity with /root/reference/options.py:1-39 and train.py:303-341:
+`--model`, `--de_type`, `--epochs`, `--batch_size`, `--lr`, `--patch_size`,
+data/ckpt paths, `--wblogger`, plus TPU-first flags (--dtype, --n_data,
+--remat, --synthetic for data-free smoke runs).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="promptir_tpu trainer")
+    p.add_argument("--model", default="promptir")
+    p.add_argument("--epochs", type=int, default=120)
+    p.add_argument("--batch_size", type=int, default=6, help="per DP shard")
+    p.add_argument("--lr", type=float, default=2e-4)
+    p.add_argument(
+        "--de_type",
+        nargs="+",
+        default=["denoise_15", "denoise_25", "denoise_50", "derain", "dehaze"],
+    )
+    p.add_argument("--patch_size", type=int, default=128)
+    p.add_argument("--num_workers", type=int, default=4)
+    p.add_argument("--data_file_dir", default="data_dir/")
+    p.add_argument("--denoise_dir", default="data/Train/Denoise/")
+    p.add_argument("--derain_dir", default="data/Train/Derain/")
+    p.add_argument("--dehaze_dir", default="data/Train/Dehaze/")
+    p.add_argument("--output_path", default="output/")
+    p.add_argument("--ckpt_dir", default="ckpt/train_all")
+    p.add_argument("--resume", default=None, help="resume from latest or epoch N")
+    p.add_argument("--wblogger", default=None, help="wandb project name")
+    p.add_argument("--seed", type=int, default=0)
+    # TPU-first knobs
+    p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    p.add_argument("--n_data", type=int, default=None, help="DP mesh size")
+    p.add_argument("--remat", action="store_true")
+    p.add_argument(
+        "--synthetic", action="store_true",
+        help="train on synthetic data (no image corpus needed)",
+    )
+    # model-size overrides (reference hardcodes these; exposed for smoke
+    # runs and scaling experiments)
+    p.add_argument("--num_blocks", type=int, nargs=4, default=None)
+    p.add_argument("--num_refinement_blocks", type=int, default=None)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    from promptir_tpu.config import Config
+    from promptir_tpu.train.trainer import Trainer
+
+    cfg = Config()
+    cfg.train.model = args.model
+    cfg.train.epochs = args.epochs
+    cfg.train.batch_size = args.batch_size
+    cfg.train.lr = args.lr
+    cfg.train.seed = args.seed
+    cfg.train.ckpt_dir = args.ckpt_dir
+    cfg.train.wandb_project = args.wblogger
+    cfg.data.patch_size = args.patch_size
+    cfg.data.num_workers = args.num_workers
+    cfg.data.de_type = args.de_type
+    cfg.data.data_file_dir = args.data_file_dir
+    cfg.data.denoise_dir = args.denoise_dir
+    cfg.data.derain_dir = args.derain_dir
+    cfg.data.dehaze_dir = args.dehaze_dir
+    cfg.system.compute_dtype = args.dtype
+    cfg.system.n_data = args.n_data
+    cfg.system.remat = args.remat
+
+    if args.synthetic:
+        from promptir_tpu.data.synthetic import SyntheticTrainDataset
+
+        dataset = SyntheticTrainDataset(patch_size=args.patch_size)
+    else:
+        from promptir_tpu.data.datasets import PromptTrainDataset
+
+        dataset = PromptTrainDataset(
+            data_file_dir=cfg.data.data_file_dir,
+            denoise_dir=cfg.data.denoise_dir,
+            derain_dir=cfg.data.derain_dir,
+            dehaze_dir=cfg.data.dehaze_dir,
+            de_type=cfg.data.de_type,
+            patch_size=cfg.data.patch_size,
+            seed=cfg.train.seed,
+        )
+        print(f"total samples: {len(dataset)}")
+
+    model = None
+    if args.num_blocks is not None or args.num_refinement_blocks is not None:
+        import jax.numpy as jnp
+
+        from promptir_tpu.models import create_model
+
+        kw = {"dtype": jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32}
+        if args.num_blocks is not None:
+            kw["num_blocks"] = tuple(args.num_blocks)
+        if args.num_refinement_blocks is not None:
+            kw["num_refinement_blocks"] = args.num_refinement_blocks
+        model = create_model(args.model, **kw)
+
+    trainer = Trainer(cfg, dataset, model=model)
+    if args.resume is not None:
+        trainer.resume(None if args.resume == "latest" else int(args.resume))
+    trainer.fit()
+
+
+if __name__ == "__main__":
+    main()

@@ -54,7 +54,12 @@ def convert_state_dict(
     tree: Dict[str, Any] = {}
     for raw_key, value in state_dict.items():
         key = _strip_prefix(raw_key)
-        arr = np.asarray(value, dtype=np.float32)
+        raw_arr = np.asarray(value)
+        if raw_arr.dtype.kind in "iu" or key.endswith("relative_position_index"):
+            # integer buffers (e.g. relative_position_index) are static
+            # lookup tables recomputed by the modules — not parameters
+            continue
+        arr = raw_arr.astype(np.float32)
         parts = key.split(".")
 
         # Sequential stack index: "encoder_level1.0.attn..." -> merge.
@@ -82,6 +87,27 @@ def convert_state_dict(
         parts = merged
 
         leaf = parts[-1]
+        # Uformer specials:
+        #  * modulator/cross_modulator embeddings stay (N, dim) untransposed
+        if len(parts) >= 2 and parts[-2] in ("modulator", "cross_modulator"):
+            node = tree
+            for p in parts[:-2]:
+                node = node.setdefault(p, {})
+            node[parts[-2]] = arr
+            continue
+        #  * transposed conv (in,out,kh,kw) -> (in,kh,kw,out) flat params
+        #    (torch Sequential "deconv.0" merges to "deconv_0")
+        if len(parts) >= 2 and parts[-2] in ("deconv", "deconv_0"):
+            if leaf == "weight":
+                arr = arr.transpose(0, 2, 3, 1)
+                new_leaf = "deconv_kernel"
+            else:
+                new_leaf = "deconv_bias"
+            node = tree
+            for p in parts[:-2]:
+                node = node.setdefault(p, {})
+            node[new_leaf] = arr
+            continue
         if leaf == "weight":
             if arr.ndim == 4:  # conv OIHW -> HWIO
                 arr = arr.transpose(2, 3, 1, 0)

@@ -1,0 +1,84 @@
+"""Evaluation loops: the framework's `test_Denoise` / `test_Derain_Dehaze`.
+
+Parity targets: /root/reference/test.py:84-164 — per-image loop, flip-pad
+to a multiple of 64, forward, crop back, PSNR/SSIM via AverageMeter, and
+optional PNG dumps of the restored images.
+
+TPU notes: the forward runs jitted; padded shapes are bucketed by the
+flip-pad (every BSD68/Rain100L image lands on a handful of 64-multiples,
+so recompiles are rare and cached). Metrics are computed on-device.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from promptir_tpu.eval.metrics import AverageMeter, psnr_ssim
+from promptir_tpu.eval.padding import pad_to_multiple_flip
+from promptir_tpu.utils.image_io import save_image
+
+
+def _restore_padded(model_fn, params, degraded: jnp.ndarray, pad_base: int):
+    _, h, w, _ = degraded.shape
+    x = pad_to_multiple_flip(degraded, pad_base)
+    y = model_fn(params, x)
+    return jnp.clip(y[:, :h, :w, :], 0.0, 1.0)
+
+
+def run_eval(
+    model_fn: Callable,
+    params,
+    dataset,
+    output_dir: Optional[str] = None,
+    pad_base: int = 64,
+    tag: str = "",
+) -> dict:
+    """Evaluate `model_fn(params, NHWC)->NHWC` over a test dataset.
+
+    Returns {"psnr": mean, "ssim": mean, "n": count}.
+    """
+    psnr_m, ssim_m = AverageMeter(), AverageMeter()
+    if output_dir:
+        os.makedirs(output_dir, exist_ok=True)
+    for i in range(len(dataset)):
+        name, degraded, clean = dataset.get(i)
+        restored = _restore_padded(
+            model_fn, params, jnp.asarray(degraded[None]), pad_base
+        )
+        p, s = psnr_ssim(jnp.asarray(clean[None]), restored)
+        psnr_m.update(float(p[0]), 1)
+        ssim_m.update(float(s[0]), 1)
+        if output_dir:
+            save_image(
+                os.path.join(output_dir, f"{name}.png"),
+                np.asarray(restored[0]),
+            )
+    return {"psnr": psnr_m.avg, "ssim": ssim_m.avg, "n": psnr_m.count}
+
+
+def test_denoise(
+    model_fn, params, dataset, sigma: float, output_dir=None, pad_base=64
+) -> dict:
+    """Reference `test_Denoise(opt, net, dataset, sigma)` (test.py:84-117)."""
+    dataset.set_sigma(sigma)
+    out = None if output_dir is None else os.path.join(
+        output_dir, f"denoise_{int(sigma)}"
+    )
+    r = run_eval(model_fn, params, dataset, out, pad_base)
+    print(f"Denoise sigma={int(sigma)}: psnr: {r['psnr']:.2f}, ssim: {r['ssim']:.4f}")
+    return r
+
+
+def test_derain_dehaze(
+    model_fn, params, dataset, task: str = "derain", output_dir=None, pad_base=64
+) -> dict:
+    """Reference `test_Derain_Dehaze` (test.py:121-164)."""
+    dataset.set_dataset(task)
+    out = None if output_dir is None else os.path.join(output_dir, task)
+    r = run_eval(model_fn, params, dataset, out, pad_base)
+    print(f"{task}: psnr: {r['psnr']:.2f}, ssim: {r['ssim']:.4f}")
+    return r

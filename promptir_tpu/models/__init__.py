@@ -34,3 +34,7 @@ def available_models():
 
 # Import model families for registration side-effects.
 from promptir_tpu.models import promptir as _promptir  # noqa: E402,F401
+from promptir_tpu.models import xrestormer as _xrestormer  # noqa: E402,F401
+from promptir_tpu.models import prompt_xrestormer as _pxr  # noqa: E402,F401
+from promptir_tpu.models import prompt_xrestormer_eff as _pxre  # noqa: E402,F401
+from promptir_tpu.models import prompt_uformer as _pu  # noqa: E402,F401

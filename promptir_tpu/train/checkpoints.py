@@ -1,0 +1,75 @@
+"""Orbax checkpointing: every-epoch saves, resume, eval restore.
+
+Capability parity with Lightning's `ModelCheckpoint(every_n_epochs=1,
+save_top_k=-1)` + `trainer.fit(..., ckpt_path=...)` resume
+(/root/reference/train.py:334,341): keep every epoch, restore full
+model/optimizer/epoch state. Saves are async (the TPU keeps training while
+the previous epoch's state streams to disk) — a capability the reference
+lacks.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, max_to_keep: Optional[int] = None):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep,
+                enable_async_checkpointing=True,
+            ),
+        )
+
+    def save(self, epoch: int, state: Any) -> None:
+        self._mgr.save(epoch, args=ocp.args.StandardSave(state))
+
+    def restore(self, state_template: Any, epoch: Optional[int] = None) -> Any:
+        step = epoch if epoch is not None else self._mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints in {self.directory}")
+        return self._mgr.restore(
+            step, args=ocp.args.StandardRestore(state_template)
+        )
+
+    def latest_epoch(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def wait(self) -> None:
+        self._mgr.wait_until_finished()
+
+    def close(self) -> None:
+        self._mgr.close()
+
+
+def save_params_npz(path: str, params: Any) -> None:
+    """Portable flat .npz export of a param pytree (for bench/demo use)."""
+    import numpy as np
+
+    flat = {
+        "/".join(str(k.key) for k in p): np.asarray(v)
+        for p, v in jax.tree_util.tree_flatten_with_path(params)[0]
+    }
+    np.savez(path, **flat)
+
+
+def load_params_npz(path: str) -> Any:
+    import numpy as np
+
+    data = np.load(path)
+    tree: dict = {}
+    for key in data.files:
+        node = tree
+        parts = key.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = data[key]
+    return tree

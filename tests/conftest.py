@@ -20,6 +20,11 @@ import jax
 import numpy as np
 import pytest
 
+# The environment's TPU plugin force-selects itself via sitecustomize even
+# when JAX_PLATFORMS=cpu is in the env; override in-process (before any
+# backend is touched) so tests run on the 8-device virtual CPU mesh.
+jax.config.update("jax_platforms", "cpu")
+
 # This JAX build computes convs/dots at reduced precision by default even on
 # CPU; parity tests need true float32 accumulation.
 jax.config.update("jax_default_matmul_precision", "highest")
@@ -34,8 +39,12 @@ class Golden:
         data = np.load(GOLDEN_DIR / f"{name}.npz")
         self.x = data["x"]  # NCHW float32
         self.y = data["y"]  # NCHW float32
+        # big fixtures store weights as fp16 (values chosen fp16-exact by
+        # the generator); promote to fp32 for use
         self.state_dict = {
-            k[len("sd::"):]: data[k] for k in data.files if k.startswith("sd::")
+            k[len("sd::"):]: data[k].astype(np.float32)
+            for k in data.files
+            if k.startswith("sd::")
         }
 
     @property

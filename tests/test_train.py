@@ -1,0 +1,84 @@
+"""End-to-end training smoke tests: loop, schedule, checkpoint/resume."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from promptir_tpu.config import Config
+from promptir_tpu.data.synthetic import SyntheticTrainDataset
+from promptir_tpu.models import create_model
+from promptir_tpu.train.schedules import warmup_cosine
+from promptir_tpu.train.trainer import Trainer
+
+
+@pytest.fixture
+def tiny_cfg(tmp_path):
+    cfg = Config()
+    cfg.train.epochs = 2
+    cfg.train.batch_size = 1  # per shard; 8 devices -> global 8
+    cfg.train.ckpt_dir = str(tmp_path / "ckpt")
+    cfg.train.log_dir = str(tmp_path / "logs")
+    cfg.data.patch_size = 32
+    return cfg
+
+
+def tiny_model():
+    return create_model(
+        "promptir", dim=8, num_blocks=(1, 1, 1, 1), num_refinement_blocks=1,
+        decoder=False,
+    )
+
+
+def test_trainer_fit_and_resume(tiny_cfg):
+    ds = SyntheticTrainDataset(n=16, patch_size=32)
+    trainer = Trainer(tiny_cfg, ds, model=tiny_model())
+    assert trainer.global_batch == 8
+    trainer.fit()
+    assert trainer.ckpt.latest_epoch() == 1
+    # loss decreased over the two epochs (sanity, not a strict bound)
+    assert os.path.exists(os.path.join(tiny_cfg.train.log_dir, "metrics.jsonl"))
+
+    # resume into a third epoch
+    cfg2 = tiny_cfg
+    cfg2.train.epochs = 3
+    trainer2 = Trainer(cfg2, ds, model=tiny_model())
+    trainer2.resume()
+    assert trainer2.start_epoch == 2
+    trainer2.fit()
+    assert trainer2.ckpt.latest_epoch() == 2
+
+
+def test_warmup_cosine_reference_values():
+    lr = warmup_cosine(2e-4, warmup_epochs=15, max_epochs=150)
+    assert lr(0) == 0.0
+    assert lr(14) == pytest.approx(2e-4)
+    assert lr(15) == pytest.approx(2e-4)
+    assert lr(150) == pytest.approx(0.0, abs=1e-12)
+    # halfway point of the cosine
+    assert lr((150 + 15) // 2) == pytest.approx(1e-4, rel=0.05)
+
+
+def test_training_reduces_loss():
+    ds = SyntheticTrainDataset(n=8, patch_size=32)
+    cfg = Config()
+    cfg.train.epochs = 1
+    cfg.train.batch_size = 1
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        cfg.train.ckpt_dir = os.path.join(td, "ckpt")
+        cfg.train.log_dir = os.path.join(td, "logs")
+        cfg.data.patch_size = 32
+        cfg.train.lr = 1e-3
+        model = tiny_model()
+        trainer = Trainer(cfg, ds, model=model)
+        # capture first/last step losses across a few epochs manually
+        losses = []
+        for epoch in range(3):
+            for batch in trainer.loader.epoch(epoch):
+                trainer.state, m = trainer.step_fn(trainer.state, batch)
+                losses.append(float(m["train_loss"]))
+        assert losses[-1] < losses[0]

@@ -22,13 +22,19 @@ from net import model as ref  # the reference implementation, used as oracle
 OUT = "tests/goldens"
 
 
-def dump(name, module, x, extra_out=None):
+def dump(name, module, x, quantize=False):
+    """quantize=True rounds weights to fp16 before the forward and stores
+    them as fp16 — half-size fixture, still an exact comparison (both the
+    oracle and the tested impl consume identical values)."""
     module = module.eval().float()
+    if quantize:
+        sd = {k: v.half().float() for k, v in module.state_dict().items()}
+        module.load_state_dict(sd)
     with torch.no_grad():
         y = module(torch.from_numpy(x))
     payload = {"x": x, "y": y.numpy()}
     for k, v in module.state_dict().items():
-        payload[f"sd::{k}"] = v.numpy()
+        payload[f"sd::{k}"] = v.half().numpy() if quantize else v.numpy()
     np.savez_compressed(f"{OUT}/{name}.npz", **payload)
     print(f"{name}: x{x.shape} -> y{tuple(y.shape)}  "
           f"({sum(v.numel() for v in module.state_dict().values())} params)")
@@ -92,7 +98,7 @@ def main():
         heads=[1, 2, 4, 8],
         decoder=True,
     )
-    dump("promptir_small", net, randn(1, 3, 64, 64))
+    dump("promptir_small", net, randn(1, 3, 64, 64), quantize=True)
 
 
 if __name__ == "__main__":
