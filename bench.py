@@ -39,7 +39,7 @@ ITERS = 8
 def main():
     from promptir_tpu.models import create_model
 
-    model = create_model("promptir", dtype=jnp.bfloat16)
+    model = create_model("promptir", dtype=jnp.bfloat16, fused_ffn=True)
     params = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3))
     )["params"]

@@ -63,27 +63,22 @@ def convert_state_dict(
         parts = key.split(".")
 
         # Sequential stack index: "encoder_level1.0.attn..." -> merge.
+        # Merge Sequential/ModuleList indices into the preceding name
+        # ("encoder_level1.0.attn" -> "encoder_level1_0.attn",
+        #  "encoders.0.1.conv1" -> "encoders_0_1.conv1") and drop the
+        # LayerNorm `body` wrapper ("norm1.body.weight" -> "norm1.weight";
+        # `body` followed by an index is a real Sequential -> "body_0").
         merged = []
-        i = 0
-        while i < len(parts):
-            p = parts[i]
-            has_idx = i + 1 < len(parts) and parts[i + 1].isdigit()
-            if p == "body":
-                if has_idx:
-                    # Sequential wrapper (down*/up*.body.0.*): the conv
-                    # module itself is named "body" here; drop the index.
-                    merged.append("body")
-                    i += 2
-                else:
-                    # LayerNorm wrapper (norm*.body.*): drop it entirely.
-                    i += 1
+        for i, p in enumerate(parts):
+            if (
+                p == "body"
+                and not (i + 1 < len(parts) and parts[i + 1].isdigit())
+            ):
                 continue
-            if has_idx and i + 2 < len(parts):  # stack index, not a leaf
-                merged.append(f"{p}_{parts[i + 1]}")
-                i += 2
-                continue
-            merged.append(p)
-            i += 1
+            if p.isdigit() and merged and i < len(parts) - 1:
+                merged[-1] = f"{merged[-1]}_{p}"
+            else:
+                merged.append(p)
         parts = merged
 
         leaf = parts[-1]
@@ -118,6 +113,8 @@ def convert_state_dict(
             # ndim == 1: layernorm weight, keep name 'weight'
         elif leaf == "temperature" and arr.ndim == 3:
             arr = arr.reshape(arr.shape[0])
+        elif leaf in ("beta", "gamma") and arr.ndim == 4:
+            arr = arr.reshape(-1)  # NAFBlock (1,C,1,1) scales -> (C,)
         elif leaf == "prompt_param" and arr.ndim == 5:
             arr = arr[0].transpose(0, 2, 3, 1)  # (L,C,S,S)->(L,S,S,C)
 

@@ -101,6 +101,70 @@ def compute_psnr_ssim(restored, clean):
     return float(jnp.mean(p)), float(jnp.mean(s)), n
 
 
+def _gaussian_window(size: int = 11, sigma: float = 1.5) -> jnp.ndarray:
+    g = jnp.exp(
+        -jnp.square(jnp.arange(size, dtype=jnp.float32) - size // 2)
+        / (2.0 * sigma * sigma)
+    )
+    g = g / jnp.sum(g)
+    return jnp.outer(g, g)
+
+
+def gaussian_ssim(
+    img1: jnp.ndarray,
+    img2: jnp.ndarray,
+    window_size: int = 11,
+    sigma: float = 1.5,
+) -> jnp.ndarray:
+    """Gaussian-window SSIM matching the reference's standalone torch SSIM
+    (/root/reference/utils/pytorch_ssim/__init__.py:45-78): 11x11 gaussian
+    window, SAME padding (borders included), per-channel depthwise filter,
+    mean over everything. Inputs NHWC in [0,1]; returns per-batch SSIM."""
+    w = _gaussian_window(window_size, sigma)
+    c = img1.shape[-1]
+    kernel = jnp.tile(w[:, :, None, None], (1, 1, 1, c))  # HWIO depthwise
+
+    def filt(x):
+        return jax.lax.conv_general_dilated(
+            x.astype(jnp.float32),
+            kernel,
+            window_strides=(1, 1),
+            padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=c,
+        )
+
+    x = img1.astype(jnp.float32)
+    y = img2.astype(jnp.float32)
+    mu1, mu2 = filt(x), filt(y)
+    mu1_sq, mu2_sq, mu12 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+    s1 = filt(x * x) - mu1_sq
+    s2 = filt(y * y) - mu2_sq
+    s12 = filt(x * y) - mu12
+    c1, c2 = 0.01**2, 0.03**2
+    m = ((2 * mu12 + c1) * (2 * s12 + c2)) / (
+        (mu1_sq + mu2_sq + c1) * (s1 + s2 + c2)
+    )
+    return jnp.mean(m, axis=(1, 2, 3))
+
+
+def compute_niqe(image) -> float:
+    """NIQE (reference utils/val_utils.py:69-74 via skvideo). The NIQE
+    fitted multivariate-Gaussian parameters ship with skvideo; without that
+    package the metric is unavailable offline."""
+    try:
+        from skvideo.measure import niqe  # type: ignore
+    except ImportError as e:
+        raise NotImplementedError(
+            "NIQE requires skvideo's pretrained natural-scene statistics "
+            "parameters, which are not available in this environment"
+        ) from e
+    import numpy as np
+
+    arr = np.clip(np.asarray(image), 0, 1)
+    return float(niqe(arr).mean())
+
+
 class AverageMeter:
     """Running average tracker (reference utils/val_utils.py:8-26)."""
 

@@ -60,6 +60,49 @@ def run_eval(
     return {"psnr": psnr_m.avg, "ssim": ssim_m.avg, "n": psnr_m.count}
 
 
+def run_eval_nopad(
+    model_fn: Callable,
+    params,
+    dataset,
+    json_path: Optional[str] = None,
+    output_dir: Optional[str] = None,
+) -> dict:
+    """No-padding per-image eval with a per-image PSNR JSON dump — the
+    reference's `test_promptir.py` flavor (forward at native size since
+    crop-16 already applied; psnr_dict saved for A/B comparison,
+    test_promptir.py:64-86,114-123)."""
+    import json
+
+    psnr_m, ssim_m = AverageMeter(), AverageMeter()
+    psnr_dict = {}
+    if output_dir:
+        os.makedirs(output_dir, exist_ok=True)
+    for i in range(len(dataset)):
+        name, degraded, clean = dataset.get(i)
+        restored = jnp.clip(
+            model_fn(params, jnp.asarray(degraded[None])), 0.0, 1.0
+        )
+        p, s = psnr_ssim(jnp.asarray(clean[None]), restored)
+        psnr_dict[name] = float(p[0])
+        psnr_m.update(float(p[0]), 1)
+        ssim_m.update(float(s[0]), 1)
+        if output_dir:
+            save_image(
+                os.path.join(output_dir, f"{name}.png"),
+                np.asarray(restored[0]),
+            )
+    if json_path:
+        os.makedirs(os.path.dirname(json_path) or ".", exist_ok=True)
+        with open(json_path, "w") as f:
+            json.dump(psnr_dict, f, indent=1)
+    return {
+        "psnr": psnr_m.avg,
+        "ssim": ssim_m.avg,
+        "n": psnr_m.count,
+        "per_image": psnr_dict,
+    }
+
+
 def test_denoise(
     model_fn, params, dataset, sigma: float, output_dir=None, pad_base=64
 ) -> dict:

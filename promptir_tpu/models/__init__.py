@@ -38,3 +38,7 @@ from promptir_tpu.models import xrestormer as _xrestormer  # noqa: E402,F401
 from promptir_tpu.models import prompt_xrestormer as _pxr  # noqa: E402,F401
 from promptir_tpu.models import prompt_xrestormer_eff as _pxre  # noqa: E402,F401
 from promptir_tpu.models import prompt_uformer as _pu  # noqa: E402,F401
+from promptir_tpu.models import easy_promptxrestormer as _ez  # noqa: E402,F401
+from promptir_tpu.models import nafnet as _naf  # noqa: E402,F401
+from promptir_tpu.models import camixer_models as _ca  # noqa: E402,F401
+from promptir_tpu.models import camixer_prompt_uformer as _capu  # noqa: E402,F401

@@ -8,6 +8,7 @@ for 1:1 checkpoint mapping.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -17,8 +18,52 @@ from promptir_tpu.ops.norm import RestormerLayerNorm
 from promptir_tpu.utils.init import torch_kernel_init
 
 
+class _LNParams(nn.Module):
+    """Declares LayerNorm params (paths identical to RestormerLayerNorm)."""
+
+    dim: int
+    bias_free: bool
+
+    @nn.compact
+    def __call__(self):
+        w = self.param("weight", nn.initializers.ones, (self.dim,))
+        b = None
+        if not self.bias_free:
+            b = self.param("bias", nn.initializers.zeros, (self.dim,))
+        return w, b
+
+
+class _ConvKernel(nn.Module):
+    """Declares a conv kernel param (path identical to a bias-less Conv)."""
+
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", torch_kernel_init, self.shape)
+
+
+class _GDFNParams(nn.Module):
+    """GDFN weights with the same param paths as the GDFN module."""
+
+    dim: int
+    hidden: int
+
+    @nn.compact
+    def __call__(self):
+        w1 = _ConvKernel((1, 1, self.dim, 2 * self.hidden), name="project_in")()
+        wdw = _ConvKernel((3, 3, 1, 2 * self.hidden), name="dwconv")()
+        w2 = _ConvKernel((1, 1, self.hidden, self.dim), name="project_out")()
+        return w1, wdw, w2
+
+
 class TransformerBlock(nn.Module):
-    """x += MDTA(LN(x)); x += GDFN(LN(x))."""
+    """x += MDTA(LN(x)); x += GDFN(LN(x)).
+
+    `fused_ffn=True` runs both branches through Pallas TPU kernels (same
+    params/paths; bias-less configs only) — a large HBM-bandwidth win on
+    full-resolution levels. Forward-only.
+    """
 
     dim: int
     num_heads: int
@@ -26,13 +71,126 @@ class TransformerBlock(nn.Module):
     use_bias: bool = False
     bias_free_norm: bool = False  # reference 'LayerNorm_type' WithBias default
     dtype: jnp.dtype = jnp.float32
+    fused_ffn: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        y = RestormerLayerNorm(self.dim, self.bias_free_norm, name="norm1")(x)
-        x = x + MDTA(
-            self.dim, self.num_heads, self.use_bias, self.dtype, name="attn"
-        )(y)
+        fused_attn_done = False
+        if self.fused_ffn and not self.use_bias:
+            from promptir_tpu.ops.pallas.mdta import fused_ln_mdta
+
+            lnw1, lnb1 = _LNParams(
+                self.dim, self.bias_free_norm, name="norm1"
+            )()
+
+            class _AttnParams(nn.Module):
+                dim: int
+                heads: int
+
+                @nn.compact
+                def __call__(s):
+                    wqkv = _ConvKernel((1, 1, s.dim, 3 * s.dim), name="qkv")()
+                    wdw = _ConvKernel((3, 3, 1, 3 * s.dim),
+                                      name="qkv_dwconv")()
+                    wproj = _ConvKernel((1, 1, s.dim, s.dim),
+                                        name="project_out")()
+                    temp = s.param(
+                        "temperature", nn.initializers.ones, (s.heads,)
+                    )
+                    return wqkv, wdw, wproj, temp
+
+            wqkv, wdw, wproj, temp = _AttnParams(
+                self.dim, self.num_heads, name="attn"
+            )()
+            out = fused_ln_mdta(
+                x.astype(self.dtype),
+                lnw1,
+                lnb1,
+                wqkv.reshape(self.dim, 3 * self.dim),
+                wdw.reshape(3, 3, 3 * self.dim),
+                wproj.reshape(self.dim, self.dim),
+                temp,
+                self.num_heads,
+                bias_free=self.bias_free_norm,
+            )
+            if out is not None:
+                x = out.astype(x.dtype)
+                fused_attn_done = True
+            else:
+                from promptir_tpu.ops.attention import channel_attention
+                from promptir_tpu.ops.norm import layernorm_nhwc
+
+                y = layernorm_nhwc(
+                    x, lnw1, lnb1, bias_free=self.bias_free_norm
+                ).astype(self.dtype)
+                qkv = jnp.einsum(
+                    "bhwc,cf->bhwf", y, wqkv.reshape(self.dim, 3 * self.dim)
+                    .astype(self.dtype),
+                )
+                qkvp = jnp.pad(qkv, ((0, 0), (1, 1), (1, 1), (0, 0)))
+                wdw3 = wdw.reshape(3, 3, 3 * self.dim).astype(self.dtype)
+                hh, ww = x.shape[1], x.shape[2]
+                qkv = sum(
+                    qkvp[:, di : di + hh, dj : dj + ww, :] * wdw3[di, dj]
+                    for di in range(3)
+                    for dj in range(3)
+                )
+                q, k, v = jnp.split(qkv, 3, axis=-1)
+                o = channel_attention(q, k, v, temp, self.num_heads)
+                x = x + jnp.einsum(
+                    "bhwc,cf->bhwf", o,
+                    wproj.reshape(self.dim, self.dim).astype(self.dtype),
+                ).astype(x.dtype)
+                fused_attn_done = True
+        if not fused_attn_done:
+            y = RestormerLayerNorm(
+                self.dim, self.bias_free_norm, name="norm1"
+            )(x)
+            x = x + MDTA(
+                self.dim, self.num_heads, self.use_bias, self.dtype,
+                name="attn",
+            )(y)
+        hidden = int(self.dim * self.expansion)
+        if self.fused_ffn and not self.use_bias:
+            from promptir_tpu.ops.pallas.gdfn import fused_ln_gdfn
+
+            lnw, lnb = _LNParams(
+                self.dim, self.bias_free_norm, name="norm2"
+            )()
+            w1, wdw, w2 = _GDFNParams(self.dim, hidden, name="ffn")()
+            out = fused_ln_gdfn(
+                x.astype(self.dtype),
+                lnw,
+                lnb,
+                w1.reshape(self.dim, 2 * hidden),
+                wdw.reshape(3, 3, 2 * hidden),
+                w2.reshape(hidden, self.dim),
+                bias_free=self.bias_free_norm,
+            )
+            if out is not None:
+                return out.astype(x.dtype)
+            # no VMEM-fitting tile for this shape: same params, XLA math
+            from promptir_tpu.ops.norm import layernorm_nhwc
+
+            y = layernorm_nhwc(x, lnw, lnb, bias_free=self.bias_free_norm)
+            h = jnp.einsum(
+                "bhwc,cf->bhwf", y.astype(self.dtype),
+                w1.reshape(self.dim, 2 * hidden).astype(self.dtype),
+            )
+            hp = jnp.pad(h, ((0, 0), (1, 1), (1, 1), (0, 0)))
+            wdw3 = wdw.reshape(3, 3, 2 * hidden).astype(self.dtype)
+            hh, ww = x.shape[1], x.shape[2]
+            dw = sum(
+                hp[:, di : di + hh, dj : dj + ww, :] * wdw3[di, dj]
+                for di in range(3)
+                for dj in range(3)
+            )
+            a, b_ = jnp.split(dw, 2, axis=-1)
+            g = jax.nn.gelu(a, approximate=False) * b_
+            return x + jnp.einsum(
+                "bhwf,fc->bhwc", g,
+                w2.reshape(hidden, self.dim).astype(self.dtype),
+            ).astype(x.dtype)
         y = RestormerLayerNorm(self.dim, self.bias_free_norm, name="norm2")(x)
         x = x + GDFN(
             self.dim, self.expansion, self.use_bias, self.dtype, name="ffn"

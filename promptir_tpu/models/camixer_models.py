@@ -1,0 +1,399 @@
+"""CAMixer dynamic-compute model family.
+
+Three models over the PromptIR-style asymmetric U-Net with a shared
+`global_predictor` condition map (2 channels from level-1 features,
+bilinearly resized per level):
+
+  * CAPromptXRestormerEff (v1) — CAMixer v1 spatial attention (deformable
+    keys); training forward returns (out, decision_avg/8)
+    (/root/reference/net/camixer_prompt_xrestormer_eff.py:670-867).
+  * CAPromptXRestormerEffv2 — CAMixer v2 (OCAB-flavored hard branch);
+    training forward returns (out, ratio_loss) with
+    ratio_loss = 2*ratio*(mean(decision)-0.5)^2 computed in-model
+    (/root/reference/net/camixer_prompt_xrestormer_effv2.py:776-934).
+  * CATAPromptXRestormer — v2 mixers + per-image BranchSelector routing
+    between Hard (MDTA/GDFN) and Easy (NAF-style) sub-blocks; training
+    returns (out, ratio_loss, hard_ratio_loss)
+    (/root/reference/net/ca_ta_promptxrestormer.py:746-918).
+
+Stacks follow the reference's `XRestormerLayer` nesting (torch keys
+`<stage>.layer.<i>`); prompt interaction uses the respective
+ChannelTransformerBlock flavor. Training routing is the dense
+straight-through Gumbel path; eval is static-capacity top-k (see
+ops/camixer.py docstring).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from promptir_tpu.models import register_model
+from promptir_tpu.models.prompt_xrestormer_eff import ChannelTransformerBlock
+from promptir_tpu.ops.attention import MDTA
+from promptir_tpu.ops.camixer import BranchSelector, CAMixerV1, CAMixerV2
+from promptir_tpu.ops.conv import Conv
+from promptir_tpu.ops.easy import (
+    EasyChannelAttention,
+    EasyChannelTransformerBlock,
+    EasyFeedForward,
+)
+from promptir_tpu.ops.embed import OverlapPatchEmbed
+from promptir_tpu.ops.gdfn import GDFN
+from promptir_tpu.ops.norm import RestormerLayerNorm
+from promptir_tpu.ops.prompt import PromptGenBlock
+from promptir_tpu.ops.resample import Downsample, Upsample
+
+
+class CATransformerBlockV1(nn.Module):
+    """channel-attn -> channel-ffn -> CAMixer v1 -> spatial-ffn."""
+
+    dim: int
+    window_size: int = 8
+    ratio: float = 0.5
+    num_channel_heads: int = 1
+    expansion: float = 2.66
+    use_bias: bool = False
+    bias_free_norm: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, cond=None, deterministic: bool = True):
+        ln = lambda name: RestormerLayerNorm(  # noqa: E731
+            self.dim, self.bias_free_norm, name=name
+        )
+        x = x + MDTA(self.dim, self.num_channel_heads, self.use_bias,
+                     self.dtype, name="channel_attn")(ln("norm1")(x))
+        x = x + GDFN(self.dim, self.expansion, self.use_bias, self.dtype,
+                     name="channel_ffn")(ln("norm2")(x))
+        y, decision = CAMixerV1(
+            self.dim, self.window_size, self.ratio, dtype=self.dtype,
+            name="spatial_attn",
+        )(ln("norm3")(x), cond, deterministic)
+        x = x + y
+        x = x + GDFN(self.dim, self.expansion, self.use_bias, self.dtype,
+                     name="spatial_ffn")(ln("norm4")(x))
+        return x, decision
+
+
+class CATransformerBlockV2(nn.Module):
+    """channel-attn -> channel-ffn -> CAMixer v2 -> spatial-ffn."""
+
+    dim: int
+    window_size: int = 8
+    ratio: float = 0.5
+    num_channel_heads: int = 1
+    num_heads: int = 4
+    dim_head: int = 16
+    overlap_ratio: float = 0.5
+    expansion: float = 2.66
+    use_bias: bool = False
+    bias_free_norm: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, cond=None, deterministic: bool = True):
+        ln = lambda name: RestormerLayerNorm(  # noqa: E731
+            self.dim, self.bias_free_norm, name=name
+        )
+        x = x + MDTA(self.dim, self.num_channel_heads, self.use_bias,
+                     self.dtype, name="channel_attn")(ln("norm1")(x))
+        x = x + GDFN(self.dim, self.expansion, self.use_bias, self.dtype,
+                     name="channel_ffn")(ln("norm2")(x))
+        y, decision = CAMixerV2(
+            self.dim, self.window_size, self.overlap_ratio, self.num_heads,
+            self.dim_head, self.ratio, dtype=self.dtype, name="spatial_attn",
+        )(ln("norm3")(x), cond, deterministic)
+        x = x + y
+        x = x + GDFN(self.dim, self.expansion, self.use_bias, self.dtype,
+                     name="spatial_ffn")(ln("norm4")(x))
+        return x, decision
+
+
+class CATABlock(nn.Module):
+    """CAMixer v2 + per-image hard/easy branch routing (CATA)."""
+
+    dim: int
+    window_size: int = 8
+    ratio: float = 0.5
+    hard_ratio: float = 0.5
+    num_channel_heads: int = 1
+    num_heads: int = 4
+    dim_head: int = 16
+    overlap_ratio: float = 0.5
+    expansion: float = 2.66
+    use_bias: bool = False
+    bias_free_norm: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, cond=None, deterministic: bool = True):
+        # the reference SHARES norm2-4 between the hard and easy branches
+        norms = {
+            f"norm{i}": RestormerLayerNorm(
+                self.dim, self.bias_free_norm, name=f"norm{i}"
+            )
+            for i in (1, 2, 3, 4)
+        }
+        label = BranchSelector(
+            self.dim, self.hard_ratio, self.dtype, name="branch_selector"
+        )(x, deterministic)  # (B,)
+
+        y, decision = CAMixerV2(
+            self.dim, self.window_size, self.overlap_ratio, self.num_heads,
+            self.dim_head, self.ratio, dtype=self.dtype, name="spatial_attn",
+        )(norms["norm1"](x), cond, deterministic)
+        x = x + y
+
+        # hard branch (MDTA/GDFN)
+        xh = x + GDFN(self.dim, self.expansion, self.use_bias, self.dtype,
+                      name="hard_spatial_ffn")(norms["norm2"](x))
+        xh = xh + MDTA(self.dim, self.num_channel_heads, self.use_bias,
+                       self.dtype, name="hard_channel_attn")(norms["norm3"](xh))
+        xh = xh + GDFN(self.dim, self.expansion, self.use_bias, self.dtype,
+                       name="hard_channel_ffn")(norms["norm4"](xh))
+        # easy branch (NAF-style)
+        xe = x + EasyFeedForward(
+            self.dim, self.expansion, self.use_bias, self.dtype,
+            name="easy_spatial_ffn",
+        )(norms["norm2"](x))
+        xe = xe + EasyChannelAttention(
+            self.dim, self.use_bias, self.dtype, name="easy_channel_attn"
+        )(norms["norm3"](xe))
+        xe = xe + EasyFeedForward(
+            self.dim, self.expansion, self.use_bias, self.dtype,
+            name="easy_channel_ffn",
+        )(norms["norm4"](xe))
+
+        lbl = label[:, None, None, None].astype(xh.dtype)
+        x = xh * lbl + xe * (1.0 - lbl)
+        return x, decision, jnp.mean(label)
+
+
+class CALayer(nn.Module):
+    """Stack of CA blocks (reference XRestormerLayer, keys `layer.<i>`)."""
+
+    block_cls: type
+    depth: int
+    block_kwargs: tuple  # sorted (key, value) pairs — hashable for flax
+
+    @nn.compact
+    def __call__(self, x, cond=None, deterministic: bool = True):
+        decisions = []
+        hard_ratios = []
+        kwargs = dict(self.block_kwargs)
+        for i in range(self.depth):
+            out = self.block_cls(
+                **kwargs, name=f"layer_{i}"
+            )(x, cond, deterministic)
+            if len(out) == 3:
+                x, d, hr = out
+                hard_ratios.append(hr)
+            else:
+                x, d = out
+            decisions.append(d)
+        dec = jnp.mean(jnp.stack(decisions))
+        if hard_ratios:
+            return x, dec, jnp.mean(jnp.stack(hard_ratios))
+        return x, dec
+
+
+class _CABase(nn.Module):
+    """Shared asymmetric U-Net skeleton for the CA family."""
+
+    inp_channels: int = 3
+    out_channels: int = 3
+    dim: int = 48
+    num_blocks: Sequence[int] = (4, 6, 6, 8)
+    num_refinement_blocks: int = 4
+    channel_heads: Sequence[int] = (1, 2, 4, 8)
+    spatial_heads: Sequence[int] = (1, 2, 4, 8)
+    window_size: int = 8
+    dim_head: int = 16
+    overlap_ratio: float = 0.5
+    ratio: float = 0.5
+    hard_ratio: float = 0.5
+    expansion: float = 2.66
+    use_bias: bool = False
+    bias_free_norm: bool = False
+    prompt: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    # subclasses set these
+    variant: str = "v2"  # "v1" | "v2" | "cata"
+
+    def _stage(self, name, dim, depth, level):
+        common = dict(
+            dim=dim,
+            window_size=self.window_size,
+            ratio=self.ratio,
+            num_channel_heads=self.channel_heads[level],
+            expansion=self.expansion,
+            use_bias=self.use_bias,
+            bias_free_norm=self.bias_free_norm,
+            dtype=self.dtype,
+        )
+        if self.variant == "v1":
+            cls = CATransformerBlockV1
+        elif self.variant == "v2":
+            cls = CATransformerBlockV2
+            common.update(
+                num_heads=self.spatial_heads[level],
+                dim_head=self.dim_head,
+                overlap_ratio=self.overlap_ratio,
+            )
+        else:
+            cls = CATABlock
+            common.update(
+                num_heads=self.spatial_heads[level],
+                dim_head=self.dim_head,
+                overlap_ratio=self.overlap_ratio,
+                hard_ratio=self.hard_ratio,
+            )
+        return CALayer(cls, depth, tuple(sorted(common.items())), name=name)
+
+    def _interaction(self, dim, name):
+        if self.variant == "cata":
+            return EasyChannelTransformerBlock(
+                dim, self.expansion, self.use_bias, self.bias_free_norm,
+                self.dtype, name=name,
+            )
+        return ChannelTransformerBlock(
+            dim, 1, self.expansion, self.use_bias, self.bias_free_norm,
+            self.dtype, name=name,
+        )
+
+    @nn.compact
+    def __call__(self, inp_img: jnp.ndarray, deterministic: bool = True):
+        from promptir_tpu.ops.resize import resize_bilinear
+
+        d = self.dim
+        nb = self.num_blocks
+        conv1 = lambda cout, name: Conv(  # noqa: E731
+            cout, (1, 1), use_bias=self.use_bias, dtype=self.dtype, name=name
+        )
+        b, h, w, _ = inp_img.shape
+
+        x = OverlapPatchEmbed(d, self.use_bias, self.dtype, name="patch_embed")(
+            inp_img.astype(self.dtype)
+        )
+        g = Conv(8, (1, 1), use_bias=True, dtype=self.dtype,
+                 name="global_predictor_0")(x)
+        g = nn.leaky_relu(g, negative_slope=0.1)
+        g = Conv(2, (3, 3), padding=((1, 1), (1, 1)), use_bias=True,
+                 dtype=self.dtype, name="global_predictor_2")(g)
+        cond1 = nn.leaky_relu(g, negative_slope=0.1)
+        cond2 = resize_bilinear(cond1, (h // 2, w // 2))
+        cond3 = resize_bilinear(cond1, (h // 4, w // 4))
+        cond4 = resize_bilinear(cond1, (h // 8, w // 8))
+
+        decisions = []
+        hard_ratios = []
+
+        def unpack(out):
+            if len(out) == 3:
+                x, dec, hr = out
+                hard_ratios.append(hr)
+            else:
+                x, dec = out
+            decisions.append(dec)
+            return x
+
+        det = deterministic
+        x = unpack(self._stage("encoder_level1", d, nb[0], 0)(x, cond1, det))
+        enc1 = x
+        x = Downsample(d, self.dtype, name="down1_2")(x)
+        x = unpack(self._stage("encoder_level2", 2 * d, nb[1], 1)(x, cond2, det))
+        enc2 = x
+        x = Downsample(2 * d, self.dtype, name="down2_3")(x)
+        x = unpack(self._stage("encoder_level3", 4 * d, nb[2], 2)(x, cond3, det))
+        enc3 = x
+        x = Downsample(4 * d, self.dtype, name="down3_4")(x)
+        x = unpack(self._stage("latent", 8 * d, nb[3], 3)(x, cond4, det))
+
+        if self.prompt:
+            p3 = PromptGenBlock(320, 5, 16, 8 * d, dtype=self.dtype,
+                                name="prompt3")(x)
+            x = jnp.concatenate([x, p3], axis=-1)
+            x = self._interaction(4 * d + 512, "noise_level3")(x)
+            x = conv1(4 * d, "reduce_noise_level3")(x)
+
+        x = Upsample(4 * d, self.dtype, name="up4_3")(x)
+        x = jnp.concatenate([x, enc3], axis=-1)
+        x = conv1(4 * d, "reduce_chan_level3")(x)
+        x = unpack(self._stage("decoder_level3", 4 * d, nb[2], 2)(x, cond3, det))
+
+        if self.prompt:
+            p2 = PromptGenBlock(128, 5, 32, 4 * d, dtype=self.dtype,
+                                name="prompt2")(x)
+            x = jnp.concatenate([x, p2], axis=-1)
+            x = self._interaction(2 * d + 224, "noise_level2")(x)
+            x = conv1(4 * d, "reduce_noise_level2")(x)
+
+        x = Upsample(4 * d, self.dtype, name="up3_2")(x)
+        x = jnp.concatenate([x, enc2], axis=-1)
+        x = conv1(2 * d, "reduce_chan_level2")(x)
+        x = unpack(self._stage("decoder_level2", 2 * d, nb[1], 1)(x, cond2, det))
+
+        if self.prompt:
+            p1 = PromptGenBlock(64, 5, 64, 2 * d, dtype=self.dtype,
+                                name="prompt1")(x)
+            x = jnp.concatenate([x, p1], axis=-1)
+            x = self._interaction(2 * d + 64, "noise_level1")(x)
+            x = conv1(2 * d, "reduce_noise_level1")(x)
+
+        x = Upsample(2 * d, self.dtype, name="up2_1")(x)
+        x = jnp.concatenate([x, enc1], axis=-1)
+        x = unpack(self._stage("decoder_level1", 2 * d, nb[0], 0)(x, cond1, det))
+        x = unpack(
+            self._stage("refinement", 2 * d, self.num_refinement_blocks, 0)(
+                x, cond1, det
+            )
+        )
+
+        out = Conv(
+            self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
+            use_bias=self.use_bias, dtype=self.dtype, name="output",
+        )(x)
+        out = (out + inp_img.astype(out.dtype)).astype(jnp.float32)
+
+        if deterministic:
+            return out
+        decision_avg = jnp.mean(jnp.stack(decisions))
+        if self.variant == "v1":
+            return out, decision_avg
+        ratio_loss = 2.0 * self.ratio * jnp.square(decision_avg - 0.5)
+        if self.variant == "v2":
+            return out, ratio_loss
+        hard_avg = jnp.mean(jnp.stack(hard_ratios))
+        hard_ratio_loss = 2.0 * self.hard_ratio * jnp.square(hard_avg - 0.5)
+        return out, ratio_loss, hard_ratio_loss
+
+
+class CAPromptXRestormerEff(_CABase):
+    variant: str = "v1"
+
+
+class CAPromptXRestormerEffv2(_CABase):
+    variant: str = "v2"
+
+
+class CATAPromptXRestormer(_CABase):
+    variant: str = "cata"
+
+
+@register_model("capromptxrestormereff")
+def _ca_v1(**kwargs) -> CAPromptXRestormerEff:
+    return CAPromptXRestormerEff(**kwargs)
+
+
+@register_model("capromptxrestormereffv2")
+def _ca_v2(**kwargs) -> CAPromptXRestormerEffv2:
+    return CAPromptXRestormerEffv2(**kwargs)
+
+
+@register_model("catapromptxrestormer")
+def _cata(**kwargs) -> CATAPromptXRestormer:
+    return CATAPromptXRestormer(**kwargs)

@@ -1,0 +1,135 @@
+"""EasyPromptXRestormer: the all-cheap (attention-free) prompt model.
+
+Parity target: /root/reference/net/easy_promptxrestormer.py:369-490 —
+EasyTransformerBlocks everywhere (inner_dim 16/32/64/128 per level) wrapped
+in `XRestormerLayer` stacks (torch key `<stage>.layer.<i>`), PromptGenBlock
++ Easy ChannelTransformerBlock interactions, and the asymmetric
+PromptIR-style decoder (up4_3 = Upsample(192), reduce_chan_level3:
+96+192 -> 192).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from promptir_tpu.models import register_model
+from promptir_tpu.ops.conv import Conv
+from promptir_tpu.ops.easy import EasyChannelTransformerBlock, EasyTransformerBlock
+from promptir_tpu.ops.embed import OverlapPatchEmbed
+from promptir_tpu.ops.prompt import PromptGenBlock
+from promptir_tpu.ops.resample import Downsample, Upsample
+
+
+class EasyLayer(nn.Module):
+    """Stack of EasyTransformerBlocks (reference XRestormerLayer)."""
+
+    dim: int
+    depth: int
+    inner_dim: int
+    expansion: float = 2.66
+    use_bias: bool = False
+    bias_free_norm: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.depth):
+            x = EasyTransformerBlock(
+                self.dim, self.inner_dim, self.expansion, self.use_bias,
+                self.bias_free_norm, self.dtype, name=f"layer_{i}",
+            )(x)
+        return x
+
+
+class EasyPromptXRestormer(nn.Module):
+    inp_channels: int = 3
+    out_channels: int = 3
+    dim: int = 48
+    num_blocks: Sequence[int] = (4, 6, 6, 8)
+    num_refinement_blocks: int = 4
+    inner_dim: Sequence[int] = (16, 32, 64, 128)
+    expansion: float = 2.66
+    use_bias: bool = False
+    bias_free_norm: bool = False
+    prompt: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, inp_img: jnp.ndarray) -> jnp.ndarray:
+        d = self.dim
+        nb = self.num_blocks
+        conv1 = lambda cout, name: Conv(  # noqa: E731
+            cout, (1, 1), use_bias=self.use_bias, dtype=self.dtype, name=name
+        )
+        layer = lambda name, dim, depth, lvl: EasyLayer(  # noqa: E731
+            dim, depth, self.inner_dim[lvl], self.expansion, self.use_bias,
+            self.bias_free_norm, self.dtype, name=name,
+        )
+        ctb = lambda dim, name: EasyChannelTransformerBlock(  # noqa: E731
+            dim, self.expansion, self.use_bias, self.bias_free_norm,
+            self.dtype, name=name,
+        )
+
+        x = OverlapPatchEmbed(d, self.use_bias, self.dtype, name="patch_embed")(
+            inp_img.astype(self.dtype)
+        )
+        x = layer("encoder_level1", d, nb[0], 0)(x)
+        enc1 = x
+        x = Downsample(d, self.dtype, name="down1_2")(x)
+        x = layer("encoder_level2", 2 * d, nb[1], 1)(x)
+        enc2 = x
+        x = Downsample(2 * d, self.dtype, name="down2_3")(x)
+        x = layer("encoder_level3", 4 * d, nb[2], 2)(x)
+        enc3 = x
+        x = Downsample(4 * d, self.dtype, name="down3_4")(x)
+        x = layer("latent", 8 * d, nb[3], 3)(x)
+
+        if self.prompt:
+            p3 = PromptGenBlock(320, 5, 16, 8 * d, dtype=self.dtype,
+                                name="prompt3")(x)
+            x = jnp.concatenate([x, p3], axis=-1)
+            x = ctb(4 * d + 512, "noise_level3")(x)
+            x = conv1(4 * d, "reduce_noise_level3")(x)
+
+        x = Upsample(4 * d, self.dtype, name="up4_3")(x)
+        x = jnp.concatenate([x, enc3], axis=-1)
+        x = conv1(4 * d, "reduce_chan_level3")(x)
+        x = layer("decoder_level3", 4 * d, nb[2], 2)(x)
+
+        if self.prompt:
+            p2 = PromptGenBlock(128, 5, 32, 4 * d, dtype=self.dtype,
+                                name="prompt2")(x)
+            x = jnp.concatenate([x, p2], axis=-1)
+            x = ctb(2 * d + 224, "noise_level2")(x)
+            x = conv1(4 * d, "reduce_noise_level2")(x)
+
+        x = Upsample(4 * d, self.dtype, name="up3_2")(x)
+        x = jnp.concatenate([x, enc2], axis=-1)
+        x = conv1(2 * d, "reduce_chan_level2")(x)
+        x = layer("decoder_level2", 2 * d, nb[1], 1)(x)
+
+        if self.prompt:
+            p1 = PromptGenBlock(64, 5, 64, 2 * d, dtype=self.dtype,
+                                name="prompt1")(x)
+            x = jnp.concatenate([x, p1], axis=-1)
+            x = ctb(2 * d + 64, "noise_level1")(x)
+            x = conv1(2 * d, "reduce_noise_level1")(x)
+
+        x = Upsample(2 * d, self.dtype, name="up2_1")(x)
+        x = jnp.concatenate([x, enc1], axis=-1)
+        x = layer("decoder_level1", 2 * d, nb[0], 0)(x)
+        x = layer("refinement", 2 * d, self.num_refinement_blocks, 0)(x)
+
+        out = Conv(
+            self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
+            use_bias=self.use_bias, dtype=self.dtype, name="output",
+        )(x)
+        return (out + inp_img.astype(out.dtype)).astype(jnp.float32)
+
+
+@register_model("easypromptxrestormer")
+def _easy(**kwargs) -> EasyPromptXRestormer:
+    return EasyPromptXRestormer(**kwargs)

@@ -46,6 +46,7 @@ class PromptIR(nn.Module):
     bias_free_norm: bool = False
     decoder: bool = True
     dtype: jnp.dtype = jnp.float32
+    fused_ffn: bool = False  # Pallas LN+GDFN fusion (inference/bench)
 
     def _stack(self, name: str, n: int, dim: int, heads: int):
         common = dict(
@@ -55,6 +56,7 @@ class PromptIR(nn.Module):
             use_bias=self.use_bias,
             bias_free_norm=self.bias_free_norm,
             dtype=self.dtype,
+            fused_ffn=self.fused_ffn,
         )
         return [TransformerBlock(**common, name=f"{name}_{i}") for i in range(n)]
 
@@ -113,6 +115,7 @@ class PromptIR(nn.Module):
                 self.use_bias,
                 self.bias_free_norm,
                 self.dtype,
+                self.fused_ffn,
                 name="noise_level3",
             )(x)
             x = conv(4 * d, 1, "reduce_noise_level3")(x)
@@ -136,6 +139,7 @@ class PromptIR(nn.Module):
                 self.use_bias,
                 self.bias_free_norm,
                 self.dtype,
+                self.fused_ffn,
                 name="noise_level2",
             )(x)
             x = conv(4 * d, 1, "reduce_noise_level2")(x)
@@ -159,6 +163,7 @@ class PromptIR(nn.Module):
                 self.use_bias,
                 self.bias_free_norm,
                 self.dtype,
+                self.fused_ffn,
                 name="noise_level1",
             )(x)
             x = conv(2 * d, 1, "reduce_noise_level1")(x)

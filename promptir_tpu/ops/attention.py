@@ -14,6 +14,7 @@ high-resolution restoration. Softmax runs in float32.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -35,29 +36,38 @@ def channel_attention(
     b, h, w, c = q.shape
     d = c // num_heads
     s = h * w
+    dtype = q.dtype
 
     def split(x):
-        return x.reshape(b, s, num_heads, d).astype(jnp.float32)
+        return x.reshape(b, s, num_heads, d)
 
     q, k, v = split(q), split(k), split(v)
 
     # L2-normalize along the spatial axis (reference normalizes dim=-1 of
     # (b, head, c, hw), i.e. over hw). torch eps: clamp norm to >= 1e-12.
+    # Stats accumulate in fp32; the full-res tensors stay in the compute
+    # dtype (bandwidth: no fp32 copies of HxW activations materialize).
     def l2norm_spatial(x):
-        n = jnp.sqrt(jnp.sum(jnp.square(x), axis=1, keepdims=True))
-        return x / jnp.maximum(n, 1e-12)
+        sq = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=1, keepdims=True)
+        inv = jax.lax.rsqrt(jnp.maximum(sq, 1e-24))
+        return x * inv.astype(dtype)
 
     qn = l2norm_spatial(q)
     kn = l2norm_spatial(k)
 
     # attn[b,h,i,j] = sum_s qn[b,s,h,i] * kn[b,s,h,j]   -> (B, heads, d, d)
-    attn = jnp.einsum("bshi,bshj->bhij", qn, kn)
+    # d x d output is tiny; accumulate in fp32 on the MXU
+    attn = jnp.einsum(
+        "bshi,bshj->bhij", qn, kn, preferred_element_type=jnp.float32
+    )
     attn = attn * temperature.astype(jnp.float32)[None, :, None, None]
-    attn = jnp.exp(attn - jnp.max(attn, axis=-1, keepdims=True))
-    attn = attn / jnp.sum(attn, axis=-1, keepdims=True)
+    attn = jax.nn.softmax(attn, axis=-1)
 
     # out[b,s,h,i] = sum_j attn[b,h,i,j] * v[b,s,h,j]
-    out = jnp.einsum("bhij,bshj->bshi", attn, v)
+    out = jnp.einsum(
+        "bhij,bshj->bshi", attn.astype(dtype), v,
+        preferred_element_type=jnp.float32,
+    ).astype(dtype)
     return out.reshape(b, h, w, c)
 
 

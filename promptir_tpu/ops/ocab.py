@@ -128,15 +128,19 @@ class OCAB(nn.Module):
         # split heads: channel = head*dim_head + c (reference '(head c)')
         d = self.dim_head
         hd = self.num_heads
+        dtype = qs.dtype
 
         def heads(t, m):
-            return t.reshape(b, nwin, m, hd, d).astype(jnp.float32)
+            return t.reshape(b, nwin, m, hd, d)
 
-        qs = heads(qs, win * win) * (d ** -0.5)
+        # scale in the compute dtype; attention logits accumulate in fp32
+        qs = heads(qs, win * win) * jnp.asarray(d ** -0.5, dtype)
         ks = heads(ks, ow * ow)
         vs = heads(vs, ow * ow)
 
-        attn = jnp.einsum("bwqhd,bwkhd->bwhqk", qs, ks)
+        attn = jnp.einsum(
+            "bwqhd,bwkhd->bwhqk", qs, ks, preferred_element_type=jnp.float32
+        )
         # bias is per (window*head); reference computes it on scaled q
         q_flat = qs.transpose(0, 1, 3, 2, 4).reshape(
             b * nwin * hd, win * win, d
@@ -144,7 +148,10 @@ class OCAB(nn.Module):
         bias = RelPosEmb(win, ow, d, name="rel_pos_emb")(q_flat)
         attn = attn + bias.reshape(b, nwin, hd, win * win, ow * ow)
         attn = jax.nn.softmax(attn, axis=-1)
-        out = jnp.einsum("bwhqk,bwkhd->bwqhd", attn, vs)
+        out = jnp.einsum(
+            "bwhqk,bwkhd->bwqhd", attn.astype(dtype), vs,
+            preferred_element_type=jnp.float32,
+        )
 
         out = out.reshape(b, nh, nw, win, win, inner).astype(x.dtype)
         out = out.transpose(0, 1, 3, 2, 4, 5).reshape(b, h, w, inner)

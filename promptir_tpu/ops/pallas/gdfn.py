@@ -1,0 +1,258 @@
+"""Fused LayerNorm + GDFN + residual as one Pallas TPU kernel.
+
+The transformer block's FFN branch `x + GDFN(LN(x))`
+(/root/reference/net/model.py:194) is the model's largest byte mover when
+left to XLA: LN, the 1x1 expansion to 2*int(2.66C) channels, the depthwise
+3x3, the gelu gate, and the 1x1 projection each round-trip full-resolution
+activations through HBM (~3 GB per level-1 block at 4x512^2).
+
+This kernel streams x through VMEM in full-width row stripes: LN statistics
+in fp32 registers, the two 1x1 convs as MXU matmuls, the depthwise 3x3 as
+9 shifted multiply-adds on the VPU, gate + residual fused — one x-sized
+HBM read (plus a 2-row halo per stripe) and one write.
+
+Mosaic's manual-DMA alignment rules shape the layout: slices must be whole
+multiples of the (8, 128) tiling on the two minor dims, so the caller pads
+W+2 up to a multiple of 8 and C up to a multiple of 128 (zero channels;
+LN uses the real-channel divisor and zero-padded weights keep the padding
+inert). Padding costs one extra x-sized copy — small against the fusion's
+multi-GB saving.
+
+Forward-only: training uses the XLA path (autodiff through the unfused
+ops); inference/benchmark enables this via the models' `fused_ffn` flag.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _lanes(c: int) -> int:
+    return (c + 127) // 128 * 128
+
+
+def _pick_th(h: int, w: int, c: int, two_f: int, vmem_budget=11 * 2**20):
+    """Largest row-stripe height whose working set fits VMEM."""
+    for th in (32, 16, 8, 4, 2):
+        if h % th:
+            continue
+        x_bytes = (th + 2) * (w + 8) * _lanes(c) * 2 * 2  # tile + LN copy
+        hidden = (th + 2) * (w + 8) * _lanes(two_f) * 2
+        acc = th * w * _lanes(two_f) * 4
+        out = th * w * _lanes(c) * 4
+        if x_bytes + hidden + acc + out < vmem_budget:
+            return th
+    return None
+
+
+def _erf(x):
+    """Abramowitz & Stegun 7.1.26 erf (max abs err 1.5e-7): Mosaic has no
+    erf/erfc primitive, and the error is far below bf16 resolution."""
+    a1, a2, a3, a4, a5 = (
+        0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429
+    )
+    p = 0.3275911
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _kernel(xb_ref, x_hbm, lnw_ref, lnb_ref, w1_ref, wdw_ref, w2_ref,
+            out_ref, halo_ref, sem, *, th, w, wp, c_real, bias_free, eps):
+    # channel counts inside the kernel are the padded ones
+    cp = xb_ref.shape[-1]
+    two_fp = w1_ref.shape[-1]
+    fp = two_fp // 2
+    i = pl.program_id(1)
+    bi = pl.program_id(0)
+    n_i = pl.num_programs(1)
+    h_total = th * n_i
+
+    # the bulk stripe arrives via the auto-pipelined blocked input; only
+    # the 2 halo rows are fetched manually (tiny, overlapped trivially).
+    # Border rows are clamped — the border mask below zeroes them anyway.
+    top_row = jnp.maximum(i * th - 1, 0)
+    bot_row = jnp.minimum(i * th + th, h_total - 1)
+    cp_top = pltpu.make_async_copy(
+        x_hbm.at[bi, pl.ds(top_row, 1), :, :], halo_ref.at[0:1], sem.at[0]
+    )
+    cp_bot = pltpu.make_async_copy(
+        x_hbm.at[bi, pl.ds(bot_row, 1), :, :], halo_ref.at[1:2], sem.at[1]
+    )
+    cp_top.start()
+    cp_bot.start()
+    cp_top.wait()
+    cp_bot.wait()
+
+    xt = jnp.concatenate(
+        [halo_ref[0:1], xb_ref[0], halo_ref[1:2]], axis=0
+    )  # (th+2, wp, cp); channels >= c_real are zero
+    xf = xt.astype(jnp.float32)
+    # LN statistics over the REAL channels: zeros contribute nothing to the
+    # sums, so divide by c_real and use sumsq - mu^2 for the variance
+    ssum = jnp.sum(xf, axis=-1, keepdims=True)
+    ssq = jnp.sum(jnp.square(xf), axis=-1, keepdims=True)
+    mu = ssum / c_real
+    var = ssq / c_real - jnp.square(mu)
+    inv = jax.lax.rsqrt(var + eps)
+    if bias_free:
+        y = xf * inv * lnw_ref[:].astype(jnp.float32)
+    else:
+        # lnw/lnb are zero-padded, so pad channels stay exactly zero
+        y = (xf - mu) * inv * lnw_ref[:].astype(jnp.float32) + lnb_ref[
+            :
+        ].astype(jnp.float32)
+    y = y.astype(xt.dtype)
+
+    # 1x1 expansion on the MXU (padded dims; zero rows keep padding inert)
+    hidden = jax.lax.dot_general(
+        y.reshape(-1, cp), w1_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(xt.dtype).reshape(th + 2, wp, two_fp)
+
+    # the true dwconv zero-pads the HIDDEN tensor; x's zero padding passed
+    # through LN+matmul is nonzero, so zero the global-border halo lines
+    # (masks built 3-D: Mosaic can't reshape 2-D i1 vectors)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (th + 2, wp, 1), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (th + 2, wp, 1), 1)
+    invalid = (cols == 0) | (cols >= w + 1)
+    invalid = invalid | ((rows == 0) & (i == 0))
+    invalid = invalid | ((rows == th + 1) & (i == pl.num_programs(1) - 1))
+    hidden = jnp.where(invalid, 0, hidden)
+
+    # depthwise 3x3 as 9 shifted multiply-adds (VPU) in the compute dtype
+    # (per-tap fp32 conversions would double the VPU work)
+    wdw_c = wdw_ref[:].astype(xt.dtype)
+    acc = jnp.zeros((th, w, two_fp), xt.dtype)
+    for di in range(3):
+        for dj in range(3):
+            acc = acc + hidden[di : di + th, dj : dj + w, :] * wdw_c[di, dj]
+
+    x1 = acc[:, :, :fp].astype(jnp.float32)
+    x2 = acc[:, :, fp:].astype(jnp.float32)
+    # exact (erf) gelu — erf approximated in-kernel (no Mosaic primitive)
+    gelu = 0.5 * x1 * (1.0 + _erf(x1 * 0.7071067811865476))
+    gated = (gelu * x2).astype(xt.dtype)
+
+    out = jax.lax.dot_general(
+        gated.reshape(-1, fp), w2_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(th, w, cp)
+
+    residual = xt[1 : th + 1, 1 : w + 1, :].astype(jnp.float32)
+    out_ref[0] = (out + residual).astype(out_ref.dtype)
+
+
+def _pad_last(a: jnp.ndarray, n: int) -> jnp.ndarray:
+    pad = n - a.shape[-1]
+    if pad == 0:
+        return a
+    cfg = [(0, 0)] * (a.ndim - 1) + [(0, pad)]
+    return jnp.pad(a, cfg)
+
+
+def fused_ln_gdfn(
+    x: jnp.ndarray,
+    ln_w: jnp.ndarray,
+    ln_b: jnp.ndarray | None,
+    w1: jnp.ndarray,
+    wdw: jnp.ndarray,
+    w2: jnp.ndarray,
+    *,
+    bias_free: bool = False,
+    eps: float = 1e-5,
+    interpret: bool = False,
+):
+    """x + GDFN(LN(x)) fused. x: (B,H,W,C); w1: (C,2F); wdw: (3,3,2F)
+    depthwise; w2: (F,C). Returns (B,H,W,C) in x.dtype.
+
+    Returns None (caller falls back to the XLA path) if no stripe fits.
+    """
+    b, h, w, c = x.shape
+    two_f = w1.shape[1]
+    f = two_f // 2
+    cp = _lanes(c)
+    fpad = _lanes(f)
+    th = _pick_th(h, w, cp, 2 * fpad)
+    if th is None:
+        return None
+
+    # pad W+2 to a multiple of 8 and C to a multiple of 128 for the DMA
+    w_extra = (-(w + 2)) % 8
+    wp = w + 2 + w_extra
+    xp = jnp.pad(x, ((0, 0), (0, 0), (1, 1 + w_extra), (0, 0)))
+    xp = _pad_last(xp, cp)
+    dtype = x.dtype
+
+    if ln_b is None:
+        ln_b = jnp.zeros_like(ln_w)
+    lnw_p = _pad_last(ln_w, cp)
+    lnb_p = _pad_last(ln_b, cp)
+    # hidden padded per-half so the split at fp stays aligned
+    w1_p = jnp.concatenate(
+        [
+            _pad_last(jnp.pad(w1[:, :f], ((0, cp - c), (0, 0))), fpad),
+            _pad_last(jnp.pad(w1[:, f:], ((0, cp - c), (0, 0))), fpad),
+        ],
+        axis=-1,
+    )
+    wdw_p = jnp.concatenate(
+        [_pad_last(wdw[:, :, :f], fpad), _pad_last(wdw[:, :, f:], fpad)],
+        axis=-1,
+    )
+    w2_p = jnp.pad(w2, ((0, fpad - f), (0, cp - c)))
+
+    kern = functools.partial(
+        _kernel, th=th, w=w, wp=wp, c_real=c, bias_free=bias_free, eps=eps
+    )
+    grid = (b, h // th)
+    flops = 2 * b * h * w * (c * two_f + f * c) + 18 * b * h * w * two_f
+    out = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, th, wp, cp), lambda bi, i: (bi, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # same x, halo rows DMA
+            pl.BlockSpec((cp,), lambda *_: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((cp,), lambda *_: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (cp, 2 * fpad), lambda *_: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (3, 3, 2 * fpad), lambda *_: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (fpad, cp), lambda *_: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, th, w, cp), lambda bi, i: (bi, i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, cp), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, wp, cp), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=2 * b * h * w * cp * 2,
+            transcendentals=b * h * w * f,
+        ),
+        interpret=interpret,
+    )(xp, xp, lnw_p.astype(dtype), lnb_p.astype(dtype), w1_p.astype(dtype),
+      wdw_p.astype(dtype), w2_p.astype(dtype))
+    return out[:, :, :, :c] if cp != c else out

@@ -1,0 +1,299 @@
+"""Fused LayerNorm + MDTA as two Pallas TPU kernels.
+
+The attention branch `x + MDTA(LN(x))` (/root/reference/net/model.py:193)
+moves ~15 x-sized tensors through HBM when unfused (LN, 1x1 qkv to 3C,
+depthwise 3x3 on 3C, L2 norms, two einsums, out-proj). Two observations
+make it collapse:
+
+  * channel attention is GLOBAL over pixels but TINY over channels: the
+    logits need only S_qk[i,j] = sum_s q[s,i] k[s,j] (C x C) plus the
+    per-channel norms — and the reference's L2 normalization is separable:
+    softmax over normalize(q) @ normalize(k)^T == softmax(S_qk[i,j] /
+    (||q_i|| ||k_j||)), so UN-normalized accumulators suffice;
+  * q and k are never needed again after those accumulators.
+
+Kernel A streams x in row stripes: LN -> qkv matmul -> depthwise 3x3, then
+writes only v to HBM while accumulating S_qk (C x C) and the squared norms
+across stripes (grid revisiting). The C x C softmax happens in XLA (tiny).
+Kernel B streams v: out = (attn @ v) -> 1x1 out-proj -> + x residual.
+HBM traffic: read x twice, write+read v once, write out once — ~5 x-sized
+transfers instead of ~15, and q/k never exist in HBM.
+
+Forward-only (training uses the XLA path).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from promptir_tpu.ops.pallas.gdfn import _lanes
+
+
+def _pick_th(h: int, w: int, cp: int, vmem_budget=10 * 2**20):
+    for th in (32, 16, 8, 4, 2):
+        if h % th:
+            continue
+        qkv_bytes = (th + 2) * (w + 8) * 3 * cp * 2 * 2
+        x_bytes = (th + 2) * (w + 8) * cp * 2 * 2
+        s_bytes = cp * cp * 4 * 2
+        if qkv_bytes + x_bytes + s_bytes < vmem_budget:
+            return th
+    return None
+
+
+def _kernel_a(xb_ref, x_hbm, lnw_ref, lnb_ref, wqkv_ref, wdw_ref,
+              v_ref, sqk_ref, ssqq_ref, ssqk_ref, halo_ref, sem,
+              *, th, w, wp, c_real, cp, bias_free, eps):
+    i = pl.program_id(1)
+    bi = pl.program_id(0)
+    h_total = th * pl.num_programs(1)
+
+    # bulk stripe via the auto-pipelined blocked input; 2 halo rows by DMA
+    top_row = jnp.maximum(i * th - 1, 0)
+    bot_row = jnp.minimum(i * th + th, h_total - 1)
+    cp_top = pltpu.make_async_copy(
+        x_hbm.at[bi, pl.ds(top_row, 1), :, :], halo_ref.at[0:1], sem.at[0]
+    )
+    cp_bot = pltpu.make_async_copy(
+        x_hbm.at[bi, pl.ds(bot_row, 1), :, :], halo_ref.at[1:2], sem.at[1]
+    )
+    cp_top.start()
+    cp_bot.start()
+    cp_top.wait()
+    cp_bot.wait()
+
+    xt = jnp.concatenate(
+        [halo_ref[0:1], xb_ref[0], halo_ref[1:2]], axis=0
+    )
+    xf = xt.astype(jnp.float32)
+    ssum = jnp.sum(xf, axis=-1, keepdims=True)
+    ssq = jnp.sum(jnp.square(xf), axis=-1, keepdims=True)
+    mu = ssum / c_real
+    var = ssq / c_real - jnp.square(mu)
+    inv = jax.lax.rsqrt(var + eps)
+    if bias_free:
+        y = xf * inv * lnw_ref[:].astype(jnp.float32)
+    else:
+        y = (xf - mu) * inv * lnw_ref[:].astype(jnp.float32) + lnb_ref[
+            :
+        ].astype(jnp.float32)
+    y = y.astype(xt.dtype)
+
+    qkv = jax.lax.dot_general(
+        y.reshape(-1, cp), wqkv_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(xt.dtype).reshape(th + 2, wp, 3 * cp)
+
+    # depthwise 3x3 over the interior (conv zero-pads at global borders;
+    # x's zero pad produced nonzero qkv in halo lines — mask them)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (th + 2, wp, 1), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (th + 2, wp, 1), 1)
+    invalid = (cols == 0) | (cols >= w + 1)
+    invalid = invalid | ((rows == 0) & (i == 0))
+    invalid = invalid | ((rows == th + 1) & (i == pl.num_programs(1) - 1))
+    qkv = jnp.where(invalid, 0, qkv)
+
+    wdw_c = wdw_ref[:].astype(xt.dtype)
+    acc = jnp.zeros((th, w, 3 * cp), xt.dtype)
+    for di in range(3):
+        for dj in range(3):
+            acc = acc + qkv[di : di + th, dj : dj + w, :] * wdw_c[di, dj]
+
+    q = acc[:, :, :cp].reshape(-1, cp)
+    k = acc[:, :, cp : 2 * cp].reshape(-1, cp)
+    v = acc[:, :, 2 * cp :]
+
+    v_ref[0] = v.astype(v_ref.dtype)
+
+    s_qk = jax.lax.dot_general(
+        q, k, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    qf = q.astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    ssq_q = jnp.sum(jnp.square(qf), axis=0, keepdims=True)
+    ssq_k = jnp.sum(jnp.square(kf), axis=0, keepdims=True)
+
+    @pl.when(i == 0)
+    def _():
+        sqk_ref[0] = s_qk
+        ssqq_ref[0] = ssq_q
+        ssqk_ref[0] = ssq_k
+
+    @pl.when(i > 0)
+    def _():
+        sqk_ref[0] += s_qk
+        ssqq_ref[0] += ssq_q
+        ssqk_ref[0] += ssq_k
+
+
+def _kernel_b(v_ref, x_ref, attn_ref, wproj_ref, out_ref, *, cp):
+    v = v_ref[0]  # (th, w, cp)
+    th, w, _ = v.shape
+    # out[s, i] = sum_j attn[i, j] v[s, j]  (attn already per-head blocked)
+    av = jax.lax.dot_general(
+        v.reshape(-1, cp), attn_ref[0],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(v.dtype)
+    out = jax.lax.dot_general(
+        av, wproj_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(th, w, cp)
+    out_ref[0] = (out + x_ref[0].astype(jnp.float32)).astype(out_ref.dtype)
+
+
+def fused_ln_mdta(
+    x: jnp.ndarray,
+    ln_w: jnp.ndarray,
+    ln_b: jnp.ndarray | None,
+    w_qkv: jnp.ndarray,
+    w_dw: jnp.ndarray,
+    w_proj: jnp.ndarray,
+    temperature: jnp.ndarray,
+    num_heads: int,
+    *,
+    bias_free: bool = False,
+    eps: float = 1e-5,
+    interpret: bool = False,
+):
+    """x + MDTA(LN(x)) fused. w_qkv: (C,3C); w_dw: (3,3,3C); w_proj: (C,C);
+    temperature: (heads,). Returns (B,H,W,C) or None if no stripe fits."""
+    b, h, w, c = x.shape
+    d = c // num_heads
+    cp = _lanes(c)
+    th = _pick_th(h, w, cp)
+    if th is None or cp % num_heads:
+        return None
+    # padded per-head split must stay aligned: pad via whole-C padding and
+    # head-block the attention matrix on the host side instead
+    w_extra = (-(w + 2)) % 8
+    wp = w + 2 + w_extra
+    xp = jnp.pad(x, ((0, 0), (0, 0), (1, 1 + w_extra), (0, cp - c)))
+    if ln_b is None:
+        ln_b = jnp.zeros_like(ln_w)
+    dtype = x.dtype
+
+    def padc(a, axis):
+        cfg = [(0, 0)] * a.ndim
+        cfg[axis] = (0, cp - c)
+        return jnp.pad(a, cfg)
+
+    lnw_p = padc(ln_w, 0)
+    lnb_p = padc(ln_b, 0)
+    # qkv: pad each of the three C-slabs to cp
+    wq, wk, wv = jnp.split(w_qkv, 3, axis=1)
+    wqkv_p = jnp.concatenate(
+        [padc(padc(t, 0), 1) for t in (wq, wk, wv)], axis=1
+    )
+    dq, dk, dv = jnp.split(w_dw, 3, axis=2)
+    wdw_p = jnp.concatenate([padc(t, 2) for t in (dq, dk, dv)], axis=2)
+
+    kern_a = functools.partial(
+        _kernel_a, th=th, w=w, wp=wp, c_real=c, cp=cp,
+        bias_free=bias_free, eps=eps,
+    )
+    grid = (b, h // th)
+    v_arr, s_qk, ssq_q, ssq_k = pl.pallas_call(
+        kern_a,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, th, wp, cp), lambda bi, i: (bi, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((cp,), lambda *_: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((cp,), lambda *_: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (cp, 3 * cp), lambda *_: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (3, 3, 3 * cp), lambda *_: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (1, th, w, cp), lambda bi, i: (bi, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, cp, cp), lambda bi, i: (bi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, cp), lambda bi, i: (bi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, cp), lambda bi, i: (bi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h, w, cp), dtype),
+            jax.ShapeDtypeStruct((b, cp, cp), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, cp), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, cp), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, wp, cp), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(xp, xp, lnw_p.astype(dtype), lnb_p.astype(dtype),
+      wqkv_p.astype(dtype), wdw_p.astype(dtype))
+
+    # --- tiny host-side attention over channel blocks ---
+    nq = jnp.sqrt(jnp.maximum(ssq_q[:, 0, :c], 1e-24))  # (B, C)
+    nk = jnp.sqrt(jnp.maximum(ssq_k[:, 0, :c], 1e-24))
+    s = s_qk[:, :c, :c]
+    logits = s / jnp.maximum(nq[:, :, None] * nk[:, None, :], 1e-12)
+    # restrict to per-head diagonal blocks
+    hb = jnp.arange(c) // d
+    same_head = hb[:, None] == hb[None, :]
+    temp = temperature.astype(jnp.float32)[hb]  # (C,) per-row temperature
+    logits = logits * temp[None, :, None]
+    logits = jnp.where(same_head[None], logits, -jnp.inf)
+    attn = jax.nn.softmax(logits, axis=-1)  # (B, C, C) block-diagonal
+    attn_p = jnp.zeros((b, cp, cp), jnp.float32).at[:, :c, :c].set(attn)
+    attn_p = attn_p.astype(dtype)
+
+    kern_b = functools.partial(_kernel_b, cp=cp)
+    out = pl.pallas_call(
+        kern_b,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, th, w, cp), lambda bi, i: (bi, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, th, w, cp), lambda bi, i: (bi, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, cp, cp), lambda bi, i: (bi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (cp, cp), lambda *_: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, th, w, cp), lambda bi, i: (bi, i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, cp), dtype),
+        interpret=interpret,
+    )(v_arr, jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, cp - c))),
+      attn_p, jnp.pad(w_proj, ((0, cp - c), (0, cp - c))).astype(dtype))
+    return out[:, :, :, :c] if cp != c else out

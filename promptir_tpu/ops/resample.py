@@ -49,7 +49,7 @@ class Downsample(nn.Module):
             padding=((1, 1), (1, 1)),
             use_bias=False,
             dtype=self.dtype,
-            name="body",
+            name="body_0",
         )(x)
         return pixel_unshuffle(x, 2)
 
@@ -68,6 +68,6 @@ class Upsample(nn.Module):
             padding=((1, 1), (1, 1)),
             use_bias=False,
             dtype=self.dtype,
-            name="body",
+            name="body_0",
         )(x)
         return pixel_shuffle(x, 2)

@@ -213,8 +213,10 @@ class WindowAttention(nn.Module):
                 name="qkv",
             )(x, attn_kv)
 
-        q = q.astype(jnp.float32) * scale
-        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k.astype(jnp.float32))
+        q = q * jnp.asarray(scale, q.dtype)
+        attn = jnp.einsum(
+            "bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32
+        )
 
         idx = jnp.asarray(relative_position_index(win).reshape(-1))
         bias = table[idx].reshape(win * win, win * win, self.num_heads)
@@ -229,7 +231,10 @@ class WindowAttention(nn.Module):
             attn = attn.reshape(bn, self.num_heads, n, attn.shape[-1])
         attn = jax.nn.softmax(attn, axis=-1)
 
-        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v.astype(jnp.float32))
+        out = jnp.einsum(
+            "bhnm,bhmd->bhnd", attn.astype(v.dtype), v,
+            preferred_element_type=jnp.float32,
+        )
         out = out.transpose(0, 2, 1, 3).reshape(bn, n, self.dim)
         return Dense(
             self.dim, use_bias=True, dtype=self.dtype, name="proj"

@@ -25,23 +25,42 @@ from promptir_tpu.train.losses import l1_loss
 def make_train_step(
     model,
     aux_loss_fn: Optional[Callable] = None,
-    donate: bool = True,
+    stochastic: bool = False,
+    seed: int = 0,
 ):
     """Build `step(state, batch) -> (state, metrics)`.
 
     `batch`: {"degraded": NHWC, "clean": NHWC, "de_type": (B,)}.
+
+    `stochastic=True` is for models whose training forward samples (the
+    CAMixer family's Gumbel routing — the reference's
+    train_capromptxrestormer.py:54-63 / train_catapromptxrestormer.py
+    semantics): the model is applied with deterministic=False and a
+    per-step 'gumbel' rng folded from the global step; any auxiliary
+    outputs (ratio losses) are summed into the loss via `aux_loss_fn`
+    (default: plain sum, matching `loss = L1 + ratio_loss`).
     """
 
     def step(state, batch):
         def loss_fn(params):
-            out = model.apply({"params": params}, batch["degraded"])
+            if stochastic:
+                rng = jax.random.fold_in(jax.random.PRNGKey(seed), state.step)
+                out = model.apply(
+                    {"params": params}, batch["degraded"], False,
+                    rngs={"gumbel": rng},
+                )
+            else:
+                out = model.apply({"params": params}, batch["degraded"])
             if isinstance(out, tuple):
                 restored, *aux = out
             else:
                 restored, aux = out, ()
             loss = l1_loss(restored, batch["clean"])
-            if aux_loss_fn is not None and aux:
-                loss = loss + aux_loss_fn(*aux)
+            if aux:
+                if aux_loss_fn is not None:
+                    loss = loss + aux_loss_fn(*aux)
+                else:
+                    loss = loss + sum(aux)
             return loss
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)

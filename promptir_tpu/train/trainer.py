@@ -60,6 +60,16 @@ class Trainer:
             sharding=batch_sharding(self.mesh),
         )
         tx = make_optimizer(cfg.train.lr, cfg.train.weight_decay)
+        # CAMixer-family models sample Gumbel routing during training and
+        # return auxiliary ratio losses
+        stochastic = getattr(self.model, "variant", None) in ("v1", "v2", "cata")
+        if stochastic and aux_loss_fn is None and self.model.variant == "v1":
+            # v1 returns the raw mean decision; apply the v2-style ratio
+            # objective to it (the v2/cata models compute losses in-model)
+            from promptir_tpu.train.losses import ratio_loss
+
+            r = self.model.ratio
+            aux_loss_fn = lambda d: ratio_loss(d, r)  # noqa: E731
         self.state = create_train_state(
             self.model,
             jax.random.PRNGKey(cfg.train.seed),
@@ -68,7 +78,11 @@ class Trainer:
         )
         self.state = jax.device_put(self.state, replicated(self.mesh))
         self.step_fn = jit_train_step(
-            make_train_step(self.model, aux_loss_fn), self.mesh
+            make_train_step(
+                self.model, aux_loss_fn, stochastic=stochastic,
+                seed=cfg.train.seed,
+            ),
+            self.mesh,
         )
         self.eval_step = make_eval_step(self.model)
         self.schedule = warmup_cosine(

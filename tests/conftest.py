@@ -36,6 +36,7 @@ class Golden:
     """A reference-generated parity fixture: input, output, state dict."""
 
     def __init__(self, name: str):
+        self._name = name
         data = np.load(GOLDEN_DIR / f"{name}.npz")
         self.x = data["x"]  # NCHW float32
         self.y = data["y"]  # NCHW float32
@@ -46,6 +47,13 @@ class Golden:
             for k in data.files
             if k.startswith("sd::")
         }
+
+    @property
+    def cond_nhwc(self):
+        data = np.load(GOLDEN_DIR / f"{self._name}.npz")
+        if "cond" not in data.files:
+            return None
+        return data["cond"].transpose(0, 2, 3, 1)
 
     @property
     def x_nhwc(self):

@@ -1,0 +1,117 @@
+"""Pallas kernel correctness (interpret mode on the CPU mesh)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from promptir_tpu.ops.norm import layernorm_nhwc
+from promptir_tpu.ops.pallas.gdfn import fused_ln_gdfn
+
+
+def reference_ln_gdfn(x, lnw, lnb, w1, wdw, w2, bias_free=False):
+    h_, w_ = x.shape[1], x.shape[2]
+    y = layernorm_nhwc(x, lnw, lnb, bias_free=bias_free)
+    h = jnp.einsum("bhwc,cf->bhwf", y, w1)
+    hp = jnp.pad(h, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    dw = sum(
+        hp[:, di : di + h_, dj : dj + w_, :] * wdw[di, dj]
+        for di in range(3)
+        for dj in range(3)
+    )
+    x1, x2 = jnp.split(dw, 2, axis=-1)
+    g = jax.nn.gelu(x1, approximate=False) * x2
+    return x + jnp.einsum("bhwf,fc->bhwc", g, w2)
+
+
+def _weights(c, f, seed=0):
+    rng = np.random.default_rng(seed)
+    return (
+        jnp.asarray(rng.normal(size=(c,)).astype(np.float32) * 0.1 + 1),
+        jnp.asarray(rng.normal(size=(c,)).astype(np.float32) * 0.1),
+        jnp.asarray(rng.normal(size=(c, 2 * f)).astype(np.float32) * 0.05),
+        jnp.asarray(rng.normal(size=(3, 3, 2 * f)).astype(np.float32) * 0.2),
+        jnp.asarray(rng.normal(size=(f, c)).astype(np.float32) * 0.05),
+    )
+
+
+def test_fused_ln_gdfn_matches_reference():
+    c = 48
+    f = int(c * 2.66)
+    lnw, lnb, w1, wdw, w2 = _weights(c, f)
+    x = jnp.asarray(
+        np.random.default_rng(1).normal(size=(2, 64, 32, c)).astype(np.float32)
+    )
+    ref = reference_ln_gdfn(x, lnw, lnb, w1, wdw, w2)
+    out = fused_ln_gdfn(x, lnw, lnb, w1, wdw, w2, interpret=True)
+    assert out is not None
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5,
+                               atol=2e-5)
+
+
+def test_fused_ln_gdfn_bias_free():
+    c = 48
+    f = int(c * 2.66)
+    lnw, lnb, w1, wdw, w2 = _weights(c, f, seed=2)
+    x = jnp.asarray(
+        np.random.default_rng(3).normal(size=(1, 32, 32, c)).astype(np.float32)
+    )
+    ref = reference_ln_gdfn(x, lnw, None, w1, wdw, w2, bias_free=True)
+    out = fused_ln_gdfn(
+        x, lnw, None, w1, wdw, w2, bias_free=True, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5,
+                               atol=2e-5)
+
+
+def test_fused_model_param_tree_identical():
+    from promptir_tpu.models import create_model
+
+    m1 = create_model("promptir", num_blocks=(1, 1, 1, 1),
+                      num_refinement_blocks=1)
+    m2 = create_model("promptir", num_blocks=(1, 1, 1, 1),
+                      num_refinement_blocks=1, fused_ffn=True)
+    v1 = jax.eval_shape(
+        lambda: m1.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    )
+    v2 = jax.eval_shape(
+        lambda: m2.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    )
+    assert jax.tree_util.tree_structure(v1) == jax.tree_util.tree_structure(v2)
+    assert all(
+        a.shape == b.shape
+        for a, b in zip(jax.tree.leaves(v1), jax.tree.leaves(v2))
+    )
+
+
+def test_fused_ln_mdta_matches_reference():
+    from promptir_tpu.ops.attention import channel_attention
+    from promptir_tpu.ops.pallas.mdta import fused_ln_mdta
+
+    c, heads = 48, 4
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(2, 32, 32, c)).astype(np.float32))
+    lnw = jnp.asarray(rng.normal(size=(c,)).astype(np.float32) * 0.1 + 1)
+    lnb = jnp.asarray(rng.normal(size=(c,)).astype(np.float32) * 0.1)
+    wqkv = jnp.asarray(rng.normal(size=(c, 3 * c)).astype(np.float32) * 0.05)
+    wdw = jnp.asarray(rng.normal(size=(3, 3, 3 * c)).astype(np.float32) * 0.2)
+    wproj = jnp.asarray(rng.normal(size=(c, c)).astype(np.float32) * 0.05)
+    temp = jnp.asarray(rng.uniform(0.5, 2.0, (heads,)).astype(np.float32))
+
+    y = layernorm_nhwc(x, lnw, lnb, bias_free=False)
+    qkv = jnp.einsum("bhwc,cf->bhwf", y, wqkv)
+    qkvp = jnp.pad(qkv, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    qkv = sum(
+        qkvp[:, di : di + 32, dj : dj + 32, :] * wdw[di, dj]
+        for di in range(3)
+        for dj in range(3)
+    )
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    o = channel_attention(q, k, v, temp, heads)
+    ref = x + jnp.einsum("bhwc,cf->bhwf", o, wproj)
+
+    out = fused_ln_mdta(
+        x, lnw, lnb, wqkv, wdw, wproj, temp, heads, interpret=True
+    )
+    assert out is not None
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=3e-4,
+                               atol=3e-4)

@@ -93,12 +93,17 @@ def install():
     # some versions; cover the archs path used by the reference
     models_mod = types.ModuleType("basicsr.models")
     models_archs = types.ModuleType("basicsr.models.archs")
+    models_archs.__path__ = []  # mark as package for submodule imports
     models_arch_util = arch_util
+    local_arch = types.ModuleType("basicsr.models.archs.local_arch")
+    local_arch.Local_Base = Local_Base
     models_mod.archs = models_archs
     models_archs.arch_util = models_arch_util
+    models_archs.local_arch = local_arch
     sys.modules.setdefault("basicsr.models", models_mod)
     sys.modules.setdefault("basicsr.models.archs", models_archs)
     sys.modules.setdefault("basicsr.models.archs.arch_util", models_arch_util)
+    sys.modules.setdefault("basicsr.models.archs.local_arch", local_arch)
 
     # --- timm ---
     def to_2tuple(x):
