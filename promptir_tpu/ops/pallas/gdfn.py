@@ -128,16 +128,17 @@ def _kernel(xb_ref, x_hbm, lnw_ref, lnb_ref, w1_ref, wdw_ref, w2_ref,
     invalid = invalid | ((rows == th + 1) & (i == pl.num_programs(1) - 1))
     hidden = jnp.where(invalid, 0, hidden)
 
-    # depthwise 3x3 as 9 shifted multiply-adds (VPU) in the compute dtype
-    # (per-tap fp32 conversions would double the VPU work)
-    wdw_c = wdw_ref[:].astype(xt.dtype)
-    acc = jnp.zeros((th, w, two_fp), xt.dtype)
+    # depthwise 3x3 as 9 shifted multiply-adds (VPU); fp32 accumulation
+    # measured faster than bf16 here (no bf16 packing on this VPU)
+    acc = jnp.zeros((th, w, two_fp), jnp.float32)
     for di in range(3):
         for dj in range(3):
-            acc = acc + hidden[di : di + th, dj : dj + w, :] * wdw_c[di, dj]
+            acc = acc + (
+                hidden[di : di + th, dj : dj + w, :] * wdw_ref[di, dj, :]
+            ).astype(jnp.float32)
 
-    x1 = acc[:, :, :fp].astype(jnp.float32)
-    x2 = acc[:, :, fp:].astype(jnp.float32)
+    x1 = acc[:, :, :fp]
+    x2 = acc[:, :, fp:]
     # exact (erf) gelu — erf approximated in-kernel (no Mosaic primitive)
     gelu = 0.5 * x1 * (1.0 + _erf(x1 * 0.7071067811865476))
     gated = (gelu * x2).astype(xt.dtype)

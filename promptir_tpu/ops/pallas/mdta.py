@@ -99,11 +99,12 @@ def _kernel_a(xb_ref, x_hbm, lnw_ref, lnb_ref, wqkv_ref, wdw_ref,
     invalid = invalid | ((rows == th + 1) & (i == pl.num_programs(1) - 1))
     qkv = jnp.where(invalid, 0, qkv)
 
-    wdw_c = wdw_ref[:].astype(xt.dtype)
-    acc = jnp.zeros((th, w, 3 * cp), xt.dtype)
+    acc = jnp.zeros((th, w, 3 * cp), jnp.float32)
     for di in range(3):
         for dj in range(3):
-            acc = acc + qkv[di : di + th, dj : dj + w, :] * wdw_c[di, dj]
+            acc = acc + (
+                qkv[di : di + th, dj : dj + w, :] * wdw_ref[di, dj, :]
+            ).astype(jnp.float32)
 
     q = acc[:, :, :cp].reshape(-1, cp)
     k = acc[:, :, cp : 2 * cp].reshape(-1, cp)
@@ -111,14 +112,14 @@ def _kernel_a(xb_ref, x_hbm, lnw_ref, lnb_ref, wqkv_ref, wdw_ref,
 
     v_ref[0] = v.astype(v_ref.dtype)
 
+    qb = q.astype(jnp.bfloat16)
+    kb = k.astype(jnp.bfloat16)
     s_qk = jax.lax.dot_general(
-        q, k, dimension_numbers=(((0,), (0,)), ((), ())),
+        qb, kb, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    qf = q.astype(jnp.float32)
-    kf = k.astype(jnp.float32)
-    ssq_q = jnp.sum(jnp.square(qf), axis=0, keepdims=True)
-    ssq_k = jnp.sum(jnp.square(kf), axis=0, keepdims=True)
+    ssq_q = jnp.sum(jnp.square(q), axis=0, keepdims=True)
+    ssq_k = jnp.sum(jnp.square(k), axis=0, keepdims=True)
 
     @pl.when(i == 0)
     def _():
