@@ -42,7 +42,7 @@ def _pick_th(h: int, w: int, c: int, two_f: int, vmem_budget=11 * 2**20):
         if h % th:
             continue
         x_bytes = (th + 2) * (w + 8) * _lanes(c) * 2 * 2  # tile + LN copy
-        hidden = (th + 2) * (w + 8) * _lanes(two_f) * 2
+        hidden = (th + 2) * (w + 8) * _lanes(two_f) * 4  # fp32 hidden
         acc = th * w * _lanes(two_f) * 4
         out = th * w * _lanes(c) * 4
         if x_bytes + hidden + acc + out < vmem_budget:
@@ -111,12 +111,13 @@ def _kernel(xb_ref, x_hbm, lnw_ref, lnb_ref, w1_ref, wdw_ref, w2_ref,
         ].astype(jnp.float32)
     y = y.astype(xt.dtype)
 
-    # 1x1 expansion on the MXU (padded dims; zero rows keep padding inert)
+    # 1x1 expansion on the MXU (padded dims; zero rows keep padding inert);
+    # hidden stays fp32 so the 9 dwconv taps need no per-tap conversion
     hidden = jax.lax.dot_general(
         y.reshape(-1, cp), w1_ref[:],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ).astype(xt.dtype).reshape(th + 2, wp, two_fp)
+    ).reshape(th + 2, wp, two_fp)
 
     # the true dwconv zero-pads the HIDDEN tensor; x's zero padding passed
     # through LN+matmul is nonzero, so zero the global-border halo lines
@@ -128,14 +129,13 @@ def _kernel(xb_ref, x_hbm, lnw_ref, lnb_ref, w1_ref, wdw_ref, w2_ref,
     invalid = invalid | ((rows == th + 1) & (i == pl.num_programs(1) - 1))
     hidden = jnp.where(invalid, 0, hidden)
 
-    # depthwise 3x3 as 9 shifted multiply-adds (VPU); fp32 accumulation
-    # measured faster than bf16 here (no bf16 packing on this VPU)
+    # depthwise 3x3 as 9 shifted multiply-adds (VPU), all fp32
     acc = jnp.zeros((th, w, two_fp), jnp.float32)
     for di in range(3):
         for dj in range(3):
-            acc = acc + (
-                hidden[di : di + th, dj : dj + w, :] * wdw_ref[di, dj, :]
-            ).astype(jnp.float32)
+            acc = acc + hidden[di : di + th, dj : dj + w, :] * wdw_ref[
+                di, dj, :
+            ].astype(jnp.float32)
 
     x1 = acc[:, :, :fp]
     x2 = acc[:, :, fp:]

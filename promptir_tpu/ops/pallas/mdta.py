@@ -38,7 +38,7 @@ def _pick_th(h: int, w: int, cp: int, vmem_budget=10 * 2**20):
     for th in (32, 16, 8, 4, 2):
         if h % th:
             continue
-        qkv_bytes = (th + 2) * (w + 8) * 3 * cp * 2 * 2
+        qkv_bytes = (th + 2) * (w + 8) * 3 * cp * 4 * 2  # fp32 qkv
         x_bytes = (th + 2) * (w + 8) * cp * 2 * 2
         s_bytes = cp * cp * 4 * 2
         if qkv_bytes + x_bytes + s_bytes < vmem_budget:
@@ -88,7 +88,7 @@ def _kernel_a(xb_ref, x_hbm, lnw_ref, lnb_ref, wqkv_ref, wdw_ref,
         y.reshape(-1, cp), wqkv_ref[:],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ).astype(xt.dtype).reshape(th + 2, wp, 3 * cp)
+    ).reshape(th + 2, wp, 3 * cp)
 
     # depthwise 3x3 over the interior (conv zero-pads at global borders;
     # x's zero pad produced nonzero qkv in halo lines — mask them)
@@ -102,9 +102,9 @@ def _kernel_a(xb_ref, x_hbm, lnw_ref, lnb_ref, wqkv_ref, wdw_ref,
     acc = jnp.zeros((th, w, 3 * cp), jnp.float32)
     for di in range(3):
         for dj in range(3):
-            acc = acc + (
-                qkv[di : di + th, dj : dj + w, :] * wdw_ref[di, dj, :]
-            ).astype(jnp.float32)
+            acc = acc + qkv[di : di + th, dj : dj + w, :] * wdw_ref[
+                di, dj, :
+            ].astype(jnp.float32)
 
     q = acc[:, :, :cp].reshape(-1, cp)
     k = acc[:, :, cp : 2 * cp].reshape(-1, cp)

@@ -1,0 +1,36 @@
+"""End-to-end checkpoint conversion: torch .ckpt -> npz -> model forward."""
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def test_convert_cli_roundtrip(golden, tmp_path):
+    import torch
+
+    g = golden("promptir_small")
+    # wrap the golden state dict as a Lightning-style checkpoint
+    ckpt = {
+        "state_dict": {
+            f"net.{k}": torch.from_numpy(np.asarray(v))
+            for k, v in g.state_dict.items()
+        }
+    }
+    ckpt_path = str(tmp_path / "model.ckpt")
+    torch.save(ckpt, ckpt_path)
+
+    npz_path = str(tmp_path / "params.npz")
+    from promptir_tpu.cli.convert import main as convert_main
+
+    convert_main([ckpt_path, npz_path, "--num_blocks", "1", "1", "1", "1",
+                  "--skip_check"])
+
+    from promptir_tpu.models import create_model
+    from promptir_tpu.train.checkpoints import load_params_npz
+
+    # note: the golden model used num_refinement_blocks=1
+    model = create_model(
+        "promptir", num_blocks=(1, 1, 1, 1), num_refinement_blocks=1
+    )
+    params = load_params_npz(npz_path)
+    y = model.apply({"params": params}, jnp.asarray(g.x_nhwc))
+    np.testing.assert_allclose(np.asarray(y), g.y_nhwc, rtol=5e-5, atol=5e-5)
