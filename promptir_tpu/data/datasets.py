@@ -68,7 +68,14 @@ class Sample:
 
 @dataclass
 class PromptTrainDataset:
-    """Mixed all-in-one training set with reference replication factors."""
+    """Mixed all-in-one training set with reference replication factors.
+
+    `use_native=True` (auto-detected by default) routes the hot per-sample
+    crop/dihedral/noise/float path through the C++ kernel in
+    native/fused_augment.cpp — same crops and flips, noise from its own
+    seeded stream (statistically identical N(0, sigma) in the uint8
+    domain).
+    """
 
     data_file_dir: str
     denoise_dir: str
@@ -83,6 +90,7 @@ class PromptTrainDataset:
     )
     patch_size: int = 128
     seed: int = 0
+    use_native: Optional[bool] = None
     samples: List[Sample] = field(default_factory=list, init=False)
 
     def __post_init__(self):
@@ -129,12 +137,32 @@ class PromptTrainDataset:
     def __len__(self) -> int:
         return len(self.samples)
 
+    def _native(self) -> bool:
+        if self.use_native is None:
+            from promptir_tpu.data import native
+
+            self.use_native = native.available()
+        return bool(self.use_native)
+
     def get(self, idx: int, rng: np.random.Generator):
         """Returns (de_type, degraded, clean) as float32 HWC in [0,1]."""
         s = self.samples[idx]
+        p = self.patch_size
         if s.de_type in SIGMA_BY_TYPE:
             clean = crop_to_multiple(load_image_rgb(s.clean_path), 16)
-            (clean_patch,) = random_crop(rng, self.patch_size, clean)
+            if self._native():
+                from promptir_tpu.data import native
+
+                h, w = clean.shape[:2]
+                ci = int(rng.integers(0, h - p + 1))
+                cj = int(rng.integers(0, w - p + 1))
+                mode = int(rng.integers(1, 8))
+                seed = int(rng.integers(0, 2**63 - 1))
+                degraded, clean_patch = native.prepare_denoise_sample(
+                    clean, ci, cj, p, mode, SIGMA_BY_TYPE[s.de_type], seed
+                )
+                return s.de_type, degraded, clean_patch
+            (clean_patch,) = random_crop(rng, p, clean)
             clean_patch = random_augmentation(rng, clean_patch)[0]
             degraded = add_gaussian_noise(
                 rng, clean_patch, SIGMA_BY_TYPE[s.de_type]
@@ -142,8 +170,19 @@ class PromptTrainDataset:
         else:
             degraded_img = crop_to_multiple(load_image_rgb(s.degraded_path), 16)
             clean_img = crop_to_multiple(load_image_rgb(s.clean_path), 16)
+            if self._native():
+                from promptir_tpu.data import native
+
+                h, w = degraded_img.shape[:2]
+                ci = int(rng.integers(0, h - p + 1))
+                cj = int(rng.integers(0, w - p + 1))
+                mode = int(rng.integers(1, 8))
+                degraded, clean_patch = native.prepare_paired_sample(
+                    degraded_img, clean_img, ci, cj, p, mode
+                )
+                return s.de_type, degraded, clean_patch
             degraded, clean_patch = random_crop(
-                rng, self.patch_size, degraded_img, clean_img
+                rng, p, degraded_img, clean_img
             )
             degraded, clean_patch = random_augmentation(rng, degraded, clean_patch)
         return (

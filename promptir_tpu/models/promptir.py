@@ -47,6 +47,7 @@ class PromptIR(nn.Module):
     decoder: bool = True
     dtype: jnp.dtype = jnp.float32
     fused_ffn: bool = False  # Pallas LN+GDFN fusion (inference/bench)
+    remat: bool = False  # rematerialize blocks (memory <-> FLOPs trade)
 
     def _stack(self, name: str, n: int, dim: int, heads: int):
         common = dict(
@@ -58,7 +59,8 @@ class PromptIR(nn.Module):
             dtype=self.dtype,
             fused_ffn=self.fused_ffn,
         )
-        return [TransformerBlock(**common, name=f"{name}_{i}") for i in range(n)]
+        cls = nn.remat(TransformerBlock) if self.remat else TransformerBlock
+        return [cls(**common, name=f"{name}_{i}") for i in range(n)]
 
     @nn.compact
     def __call__(self, inp_img: jnp.ndarray) -> jnp.ndarray:

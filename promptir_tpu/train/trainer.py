@@ -46,8 +46,11 @@ class Trainer:
         self.global_batch = cfg.train.batch_size * n_shards
 
         dtype = jnp.bfloat16 if cfg.system.compute_dtype == "bfloat16" else jnp.float32
+        model_kw = {"dtype": dtype}
+        if cfg.system.remat:
+            model_kw["remat"] = True  # supported by the flagship model
         self.model = model if model is not None else create_model(
-            cfg.train.model, dtype=dtype
+            cfg.train.model, **model_kw
         )
         self.dataset = dataset
         self.eval_hook = eval_hook
