@@ -25,6 +25,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--num_blocks", type=int, nargs=4, default=None)
     p.add_argument("--num_refinement_blocks", type=int, default=None)
+    p.add_argument(
+        "--nopad", action="store_true",
+        help="forward at native size and dump per-image PSNR JSON "
+             "(reference test_promptir.py flavor)",
+    )
+    p.add_argument("--json_dir", default=None)
     return p
 
 
@@ -73,9 +79,22 @@ def main(argv=None):
     if args.mode in (0, 3):
         ds = DenoiseTestDataset(args.denoise_path)
         for sigma in (15, 25, 50):
-            r = test_denoise(
-                model_fn, params, ds, sigma, args.output_path, args.pad_base
-            )
+            if args.nopad:
+                from promptir_tpu.eval.runner import run_eval_nopad
+
+                ds.set_sigma(sigma)
+                jp = (
+                    f"{args.json_dir or args.output_path}/"
+                    f"psnr_denoise_{sigma}.json"
+                )
+                r = run_eval_nopad(model_fn, params, ds, jp, args.output_path)
+                print(f"Denoise sigma={sigma}: psnr: {r['psnr']:.2f}, "
+                      f"ssim: {r['ssim']:.4f}")
+            else:
+                r = test_denoise(
+                    model_fn, params, ds, sigma, args.output_path,
+                    args.pad_base,
+                )
             results[f"denoise_{sigma}"] = r
     if args.mode in (1, 3):
         ds = DerainDehazeDataset(
