@@ -40,6 +40,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--n_data", type=int, default=None, help="DP mesh size")
     p.add_argument("--remat", action="store_true")
     p.add_argument(
+        "--fused", action="store_true",
+        help="train with the fused Pallas LN+MDTA/LN+GDFN kernels "
+             "(custom-VJP backward; promptir only)",
+    )
+    p.add_argument(
         "--synthetic", action="store_true",
         help="train on synthetic data (no image corpus needed)",
     )
@@ -94,7 +99,8 @@ def main(argv=None):
         print(f"total samples: {len(dataset)}")
 
     model = None
-    if args.num_blocks is not None or args.num_refinement_blocks is not None:
+    if (args.num_blocks is not None or args.num_refinement_blocks is not None
+            or args.fused):
         import jax.numpy as jnp
 
         from promptir_tpu.models import create_model
@@ -104,6 +110,8 @@ def main(argv=None):
             kw["num_blocks"] = tuple(args.num_blocks)
         if args.num_refinement_blocks is not None:
             kw["num_refinement_blocks"] = args.num_refinement_blocks
+        if args.fused:
+            kw["fused_ffn"] = True
         model = create_model(args.model, **kw)
 
     trainer = Trainer(cfg, dataset, model=model)

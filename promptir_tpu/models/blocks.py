@@ -8,7 +8,6 @@ for 1:1 checkpoint mapping.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -77,7 +76,7 @@ class TransformerBlock(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         fused_attn_done = False
         if self.fused_ffn and not self.use_bias:
-            from promptir_tpu.ops.pallas.mdta import fused_ln_mdta
+            from promptir_tpu.ops.pallas.autodiff import ln_mdta, xla_ln_mdta
 
             lnw1, lnb1 = _LNParams(
                 self.dim, self.bias_free_norm, name="norm1"
@@ -102,7 +101,7 @@ class TransformerBlock(nn.Module):
             wqkv, wdw, wproj, temp = _AttnParams(
                 self.dim, self.num_heads, name="attn"
             )()
-            out = fused_ln_mdta(
+            margs = (
                 x.astype(self.dtype),
                 lnw1,
                 lnb1,
@@ -111,37 +110,13 @@ class TransformerBlock(nn.Module):
                 wproj.reshape(self.dim, self.dim),
                 temp,
                 self.num_heads,
-                bias_free=self.bias_free_norm,
             )
-            if out is not None:
-                x = out.astype(x.dtype)
-                fused_attn_done = True
-            else:
-                from promptir_tpu.ops.attention import channel_attention
-                from promptir_tpu.ops.norm import layernorm_nhwc
-
-                y = layernorm_nhwc(
-                    x, lnw1, lnb1, bias_free=self.bias_free_norm
-                ).astype(self.dtype)
-                qkv = jnp.einsum(
-                    "bhwc,cf->bhwf", y, wqkv.reshape(self.dim, 3 * self.dim)
-                    .astype(self.dtype),
-                )
-                qkvp = jnp.pad(qkv, ((0, 0), (1, 1), (1, 1), (0, 0)))
-                wdw3 = wdw.reshape(3, 3, 3 * self.dim).astype(self.dtype)
-                hh, ww = x.shape[1], x.shape[2]
-                qkv = sum(
-                    qkvp[:, di : di + hh, dj : dj + ww, :] * wdw3[di, dj]
-                    for di in range(3)
-                    for dj in range(3)
-                )
-                q, k, v = jnp.split(qkv, 3, axis=-1)
-                o = channel_attention(q, k, v, temp, self.num_heads)
-                x = x + jnp.einsum(
-                    "bhwc,cf->bhwf", o,
-                    wproj.reshape(self.dim, self.dim).astype(self.dtype),
-                ).astype(x.dtype)
-                fused_attn_done = True
+            out = ln_mdta(*margs, bias_free=self.bias_free_norm)
+            if out is None:
+                # no VMEM-fitting stripe for this shape: same params, XLA
+                out = xla_ln_mdta(*margs, bias_free=self.bias_free_norm)
+            x = out.astype(x.dtype)
+            fused_attn_done = True
         if not fused_attn_done:
             y = RestormerLayerNorm(
                 self.dim, self.bias_free_norm, name="norm1"
@@ -152,45 +127,25 @@ class TransformerBlock(nn.Module):
             )(y)
         hidden = int(self.dim * self.expansion)
         if self.fused_ffn and not self.use_bias:
-            from promptir_tpu.ops.pallas.gdfn import fused_ln_gdfn
+            from promptir_tpu.ops.pallas.autodiff import ln_gdfn, xla_ln_gdfn
 
             lnw, lnb = _LNParams(
                 self.dim, self.bias_free_norm, name="norm2"
             )()
             w1, wdw, w2 = _GDFNParams(self.dim, hidden, name="ffn")()
-            out = fused_ln_gdfn(
+            gargs = (
                 x.astype(self.dtype),
                 lnw,
                 lnb,
                 w1.reshape(self.dim, 2 * hidden),
                 wdw.reshape(3, 3, 2 * hidden),
                 w2.reshape(hidden, self.dim),
-                bias_free=self.bias_free_norm,
             )
-            if out is not None:
-                return out.astype(x.dtype)
-            # no VMEM-fitting tile for this shape: same params, XLA math
-            from promptir_tpu.ops.norm import layernorm_nhwc
-
-            y = layernorm_nhwc(x, lnw, lnb, bias_free=self.bias_free_norm)
-            h = jnp.einsum(
-                "bhwc,cf->bhwf", y.astype(self.dtype),
-                w1.reshape(self.dim, 2 * hidden).astype(self.dtype),
-            )
-            hp = jnp.pad(h, ((0, 0), (1, 1), (1, 1), (0, 0)))
-            wdw3 = wdw.reshape(3, 3, 2 * hidden).astype(self.dtype)
-            hh, ww = x.shape[1], x.shape[2]
-            dw = sum(
-                hp[:, di : di + hh, dj : dj + ww, :] * wdw3[di, dj]
-                for di in range(3)
-                for dj in range(3)
-            )
-            a, b_ = jnp.split(dw, 2, axis=-1)
-            g = jax.nn.gelu(a, approximate=False) * b_
-            return x + jnp.einsum(
-                "bhwf,fc->bhwc", g,
-                w2.reshape(hidden, self.dim).astype(self.dtype),
-            ).astype(x.dtype)
+            out = ln_gdfn(*gargs, bias_free=self.bias_free_norm)
+            if out is None:
+                # no VMEM-fitting stripe for this shape: same params, XLA
+                out = xla_ln_gdfn(*gargs, bias_free=self.bias_free_norm)
+            return out.astype(x.dtype)
         y = RestormerLayerNorm(self.dim, self.bias_free_norm, name="norm2")(x)
         x = x + GDFN(
             self.dim, self.expansion, self.use_bias, self.dtype, name="ffn"

@@ -1,0 +1,152 @@
+"""Differentiable entry points for the fused Pallas kernels.
+
+The fused LN+GDFN and LN+MDTA kernels (ops/pallas/gdfn.py, mdta.py) are
+forward-only Pallas programs; `jax.grad` cannot flow through a
+`pallas_call` without a VJP rule. These wrappers attach one:
+
+  * forward  — the fused kernel (one HBM round-trip, fp32 tap math);
+  * backward — `jax.vjp` of the mathematically identical unfused XLA
+    composition, re-evaluated at the saved inputs (rematerialisation:
+    nothing but the block inputs and weights is kept alive across the
+    forward pass, exactly like `jax.checkpoint` would).
+
+This makes `fused_ffn=True` legal under `jax.grad`, so training gets the
+fused forward's bandwidth savings while gradients stay the exact gradients
+of the reference composition (/root/reference/net/model.py:183-196). The
+fused and unfused forwards agree to kernel test tolerance (~1e-5 in fp32,
+below bf16 resolution), so the bwd linearisation point is consistent.
+
+Returns None (caller falls back to plain XLA) when no row stripe of the
+input fits VMEM, mirroring the raw kernels' contract.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from promptir_tpu.ops.norm import layernorm_nhwc
+from promptir_tpu.ops.pallas import gdfn as _gdfn
+from promptir_tpu.ops.pallas import mdta as _mdta
+
+
+def _dwconv3x3(h: jnp.ndarray, taps: jnp.ndarray) -> jnp.ndarray:
+    """Depthwise 3x3, zero padded. h: (B,H,W,F); taps: (3,3,F)."""
+    hh, ww = h.shape[1], h.shape[2]
+    hp = jnp.pad(h, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    return sum(
+        hp[:, di : di + hh, dj : dj + ww, :] * taps[di, dj]
+        for di in range(3)
+        for dj in range(3)
+    )
+
+
+def xla_ln_gdfn(x, lnw, lnb, w1, wdw, w2, bias_free=False, eps=1e-5):
+    """Unfused x + GDFN(LN(x)) — the backward-pass (and fallback) math."""
+    dt = x.dtype
+    y = layernorm_nhwc(x, lnw, lnb, bias_free=bias_free, eps=eps).astype(dt)
+    h = jnp.einsum("bhwc,cf->bhwf", y, w1.astype(dt))
+    dw = _dwconv3x3(h, wdw.astype(dt))
+    a, b = jnp.split(dw, 2, axis=-1)
+    g = jax.nn.gelu(a, approximate=False) * b
+    return x + jnp.einsum("bhwf,fc->bhwc", g, w2.astype(dt))
+
+
+def xla_ln_mdta(x, lnw, lnb, wqkv, wdw, wproj, temp, num_heads,
+                bias_free=False, eps=1e-5):
+    """Unfused x + MDTA(LN(x)) — the backward-pass (and fallback) math."""
+    from promptir_tpu.ops.attention import channel_attention
+
+    dt = x.dtype
+    y = layernorm_nhwc(x, lnw, lnb, bias_free=bias_free, eps=eps).astype(dt)
+    qkv = jnp.einsum("bhwc,cf->bhwf", y, wqkv.astype(dt))
+    qkv = _dwconv3x3(qkv, wdw.astype(dt))
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    o = channel_attention(q, k, v, temp, num_heads)
+    return x + jnp.einsum("bhwc,cf->bhwf", o, wproj.astype(dt))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def _ln_gdfn(x, lnw, lnb, w1, wdw, w2, bias_free, eps, interpret):
+    out = _gdfn.fused_ln_gdfn(
+        x, lnw, lnb, w1, wdw, w2,
+        bias_free=bias_free, eps=eps, interpret=interpret,
+    )
+    assert out is not None  # caller pre-checked the VMEM fit
+    return out
+
+
+def _ln_gdfn_fwd(x, lnw, lnb, w1, wdw, w2, bias_free, eps, interpret):
+    return (
+        _ln_gdfn(x, lnw, lnb, w1, wdw, w2, bias_free, eps, interpret),
+        (x, lnw, lnb, w1, wdw, w2),
+    )
+
+
+def _ln_gdfn_bwd(bias_free, eps, interpret, res, g):
+    _, vjp = jax.vjp(
+        lambda *a: xla_ln_gdfn(*a, bias_free=bias_free, eps=eps), *res
+    )
+    return vjp(g.astype(res[0].dtype))
+
+
+_ln_gdfn.defvjp(_ln_gdfn_fwd, _ln_gdfn_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+def _ln_mdta(x, lnw, lnb, wqkv, wdw, wproj, temp, num_heads, bias_free,
+             eps, interpret):
+    out = _mdta.fused_ln_mdta(
+        x, lnw, lnb, wqkv, wdw, wproj, temp, num_heads,
+        bias_free=bias_free, eps=eps, interpret=interpret,
+    )
+    assert out is not None
+    return out
+
+
+def _ln_mdta_fwd(x, lnw, lnb, wqkv, wdw, wproj, temp, num_heads, bias_free,
+                 eps, interpret):
+    return (
+        _ln_mdta(x, lnw, lnb, wqkv, wdw, wproj, temp, num_heads, bias_free,
+                 eps, interpret),
+        (x, lnw, lnb, wqkv, wdw, wproj, temp),
+    )
+
+
+def _ln_mdta_bwd(num_heads, bias_free, eps, interpret, res, g):
+    _, vjp = jax.vjp(
+        lambda *a: xla_ln_mdta(
+            *a, num_heads, bias_free=bias_free, eps=eps
+        ),
+        *res,
+    )
+    return vjp(g.astype(res[0].dtype))
+
+
+_ln_mdta.defvjp(_ln_mdta_fwd, _ln_mdta_bwd)
+
+
+def ln_gdfn(x, lnw, lnb, w1, wdw, w2, *, bias_free=False, eps=1e-5,
+            interpret=False):
+    """Differentiable fused x + GDFN(LN(x)); None if no stripe fits VMEM."""
+    _, h, w, c = x.shape
+    cp = _gdfn._lanes(c)
+    fpad = _gdfn._lanes(w1.shape[1] // 2)
+    if _gdfn._pick_th(h, w, cp, 2 * fpad) is None:
+        return None
+    lnb = jnp.zeros_like(lnw) if lnb is None else lnb
+    return _ln_gdfn(x, lnw, lnb, w1, wdw, w2, bias_free, eps, interpret)
+
+
+def ln_mdta(x, lnw, lnb, wqkv, wdw, wproj, temp, num_heads, *,
+            bias_free=False, eps=1e-5, interpret=False):
+    """Differentiable fused x + MDTA(LN(x)); None if no stripe fits VMEM."""
+    _, h, w, c = x.shape
+    cp = _gdfn._lanes(c)
+    if _mdta._pick_th(h, w, cp) is None or cp % num_heads:
+        return None
+    lnb = jnp.zeros_like(lnw) if lnb is None else lnb
+    return _ln_mdta(x, lnw, lnb, wqkv, wdw, wproj, temp, num_heads,
+                    bias_free, eps, interpret)

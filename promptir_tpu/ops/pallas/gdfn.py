@@ -36,9 +36,14 @@ def _lanes(c: int) -> int:
     return (c + 127) // 128 * 128
 
 
-def _pick_th(h: int, w: int, c: int, two_f: int, vmem_budget=11 * 2**20):
-    """Largest row-stripe height whose working set fits VMEM."""
-    for th in (32, 16, 8, 4, 2):
+def _pick_th(h: int, w: int, c: int, two_f: int, vmem_budget=44 * 2**20):
+    """Largest row-stripe height whose working set fits VMEM.
+
+    Taller stripes matter more than VMEM frugality: the 2 halo rows mean
+    (th+2)/th overcompute on LN + the expansion matmul + the taps, and each
+    program pays fixed DMA/issue overhead — th=4 measured ~25% slower than
+    th=16 at 4x512^2x48 on v5e (128 MB VMEM)."""
+    for th in (64, 32, 16, 8, 4, 2):
         if h % th:
             continue
         x_bytes = (th + 2) * (w + 8) * _lanes(c) * 2 * 2  # tile + LN copy
@@ -109,7 +114,17 @@ def _kernel(xb_ref, x_hbm, lnw_ref, lnb_ref, w1_ref, wdw_ref, w2_ref,
         y = (xf - mu) * inv * lnw_ref[:].astype(jnp.float32) + lnb_ref[
             :
         ].astype(jnp.float32)
-    y = y.astype(xt.dtype)
+    # the true dwconv zero-pads the HIDDEN tensor; x's zero padding passed
+    # through LN is nonzero, so zero the global-border halo lines of y —
+    # hidden = y @ W1 is linear, so masking y (cp lanes) is equivalent to
+    # masking hidden (2F lanes) and costs half the select work.
+    # (masks built 3-D: Mosaic can't reshape 2-D i1 vectors)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (th + 2, wp, 1), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (th + 2, wp, 1), 1)
+    invalid = (cols == 0) | (cols >= w + 1)
+    invalid = invalid | ((rows == 0) & (i == 0))
+    invalid = invalid | ((rows == th + 1) & (i == pl.num_programs(1) - 1))
+    y = jnp.where(invalid, 0, y).astype(xt.dtype)
 
     # 1x1 expansion on the MXU (padded dims; zero rows keep padding inert);
     # hidden stays fp32 so the 9 dwconv taps need no per-tap conversion
@@ -118,16 +133,6 @@ def _kernel(xb_ref, x_hbm, lnw_ref, lnb_ref, w1_ref, wdw_ref, w2_ref,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).reshape(th + 2, wp, two_fp)
-
-    # the true dwconv zero-pads the HIDDEN tensor; x's zero padding passed
-    # through LN+matmul is nonzero, so zero the global-border halo lines
-    # (masks built 3-D: Mosaic can't reshape 2-D i1 vectors)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (th + 2, wp, 1), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (th + 2, wp, 1), 1)
-    invalid = (cols == 0) | (cols >= w + 1)
-    invalid = invalid | ((rows == 0) & (i == 0))
-    invalid = invalid | ((rows == th + 1) & (i == pl.num_programs(1) - 1))
-    hidden = jnp.where(invalid, 0, hidden)
 
     # depthwise 3x3 as 9 shifted multiply-adds (VPU), all fp32
     acc = jnp.zeros((th, w, two_fp), jnp.float32)
@@ -252,6 +257,10 @@ def fused_ln_gdfn(
             flops=flops,
             bytes_accessed=2 * b * h * w * cp * 2,
             transcendentals=b * h * w * f,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 2**20,  # default 16M forces tiny stripes
         ),
         interpret=interpret,
     )(xp, xp, lnw_p.astype(dtype), lnb_p.astype(dtype), w1_p.astype(dtype),

@@ -19,7 +19,9 @@ Kernel B streams v: out = (attn @ v) -> 1x1 out-proj -> + x residual.
 HBM traffic: read x twice, write+read v once, write out once — ~5 x-sized
 transfers instead of ~15, and q/k never exist in HBM.
 
-Forward-only (training uses the XLA path).
+The raw kernels are forward-only; `ops/pallas/autodiff.py` adds the
+`custom_vjp` (backward = remat through the unfused XLA composition) that
+makes the models' `fused_ffn` flag differentiable.
 """
 
 from __future__ import annotations
@@ -34,8 +36,11 @@ from jax.experimental.pallas import tpu as pltpu
 from promptir_tpu.ops.pallas.gdfn import _lanes
 
 
-def _pick_th(h: int, w: int, cp: int, vmem_budget=10 * 2**20):
-    for th in (32, 16, 8, 4, 2):
+def _pick_th(h: int, w: int, cp: int, vmem_budget=44 * 2**20):
+    # taller stripes amortize the 2 halo rows and per-program overhead —
+    # see gdfn._pick_th; v5e has 128 MB VMEM so 44 MB of blocks is safe
+    # (th=16 at 512px; th=32 measured no faster)
+    for th in (64, 32, 16, 8, 4, 2):
         if h % th:
             continue
         qkv_bytes = (th + 2) * (w + 8) * 3 * cp * 4 * 2  # fp32 qkv
@@ -48,7 +53,16 @@ def _pick_th(h: int, w: int, cp: int, vmem_budget=10 * 2**20):
 
 def _kernel_a(xb_ref, x_hbm, lnw_ref, lnb_ref, wqkv_ref, wdw_ref,
               v_ref, sqk_ref, ssqq_ref, ssqk_ref, halo_ref, sem,
-              *, th, w, wp, c_real, cp, bias_free, eps):
+              *, th, w, wp, c_real, cp, bias_free, eps, qkp=0):
+    """qkp > 0 selects the packed-qk layout: qkv columns are
+    [q: c_real | k: c_real | zero-pad to qkp | v: zero-pad to cp] instead of
+    three cp-padded slabs. For C=48 (the full-resolution level) that cuts
+    the depthwise-tap lane count from 3*128 to 128+128 — the kernel is
+    VPU-bound in exactly those taps — and S is accumulated as the single
+    (qkp, qkp) Gram matrix slab^T slab whose [0:c, c:2c] block is q^T k and
+    whose diagonal blocks carry the squared norms' cross terms; the fp32
+    norms still come from a direct reduce (ssqq holds [||q||^2 || ||k||^2]
+    packed, ssqk is unused/zero in this mode)."""
     i = pl.program_id(1)
     bi = pl.program_id(0)
     h_total = th * pl.num_programs(1)
@@ -82,44 +96,60 @@ def _kernel_a(xb_ref, x_hbm, lnw_ref, lnb_ref, wqkv_ref, wdw_ref,
         y = (xf - mu) * inv * lnw_ref[:].astype(jnp.float32) + lnb_ref[
             :
         ].astype(jnp.float32)
-    y = y.astype(xt.dtype)
-
-    qkv = jax.lax.dot_general(
-        y.reshape(-1, cp), wqkv_ref[:],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).reshape(th + 2, wp, 3 * cp)
-
-    # depthwise 3x3 over the interior (conv zero-pads at global borders;
-    # x's zero pad produced nonzero qkv in halo lines — mask them)
+    # the dwconv zero-pads at global borders; x's zero pad produced nonzero
+    # LN output in halo lines — mask y (cp lanes) before the linear qkv
+    # matmul instead of qkv (3cp lanes) after: equivalent, cheaper select
     rows = jax.lax.broadcasted_iota(jnp.int32, (th + 2, wp, 1), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (th + 2, wp, 1), 1)
     invalid = (cols == 0) | (cols >= w + 1)
     invalid = invalid | ((rows == 0) & (i == 0))
     invalid = invalid | ((rows == th + 1) & (i == pl.num_programs(1) - 1))
-    qkv = jnp.where(invalid, 0, qkv)
+    y = jnp.where(invalid, 0, y).astype(xt.dtype)
 
-    acc = jnp.zeros((th, w, 3 * cp), jnp.float32)
-    for di in range(3):
-        for dj in range(3):
-            acc = acc + qkv[di : di + th, dj : dj + w, :] * wdw_ref[
-                di, dj, :
-            ].astype(jnp.float32)
-
-    q = acc[:, :, :cp].reshape(-1, cp)
-    k = acc[:, :, cp : 2 * cp].reshape(-1, cp)
-    v = acc[:, :, 2 * cp :]
-
-    v_ref[0] = v.astype(v_ref.dtype)
-
-    qb = q.astype(jnp.bfloat16)
-    kb = k.astype(jnp.bfloat16)
-    s_qk = jax.lax.dot_general(
-        qb, kb, dimension_numbers=(((0,), (0,)), ((), ())),
+    width = wqkv_ref.shape[-1]  # 3*cp, or qkp+cp when packed
+    qkv = jax.lax.dot_general(
+        y.reshape(-1, cp), wqkv_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )
-    ssq_q = jnp.sum(jnp.square(q), axis=0, keepdims=True)
-    ssq_k = jnp.sum(jnp.square(k), axis=0, keepdims=True)
+    ).reshape(th + 2, wp, width)
+
+    # W (sublane) slices hoisted out of the di loop: 3 sublane shifts
+    # instead of 9 (row slices are free)
+    acc = jnp.zeros((th, w, width), jnp.float32)
+    for dj in range(3):
+        sh = qkv[:, dj : dj + w, :]
+        for di in range(3):
+            acc = acc + sh[di : di + th] * wdw_ref[di, dj, :].astype(
+                jnp.float32
+            )
+
+    if qkp:
+        slab = acc[:, :, :qkp].reshape(-1, qkp)
+        v = acc[:, :, qkp:]
+        v_ref[0] = v.astype(v_ref.dtype)
+        sb = slab.astype(jnp.bfloat16)
+        # Gram matrix: [0:c, c:2c] block is q^T k
+        s_qk = jax.lax.dot_general(
+            sb, sb, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ssq_q = jnp.sum(jnp.square(slab), axis=0, keepdims=True)
+        ssq_k = jnp.zeros_like(ssqk_ref[0])
+    else:
+        q = acc[:, :, :cp].reshape(-1, cp)
+        k = acc[:, :, cp : 2 * cp].reshape(-1, cp)
+        v = acc[:, :, 2 * cp :]
+
+        v_ref[0] = v.astype(v_ref.dtype)
+
+        qb = q.astype(jnp.bfloat16)
+        kb = k.astype(jnp.bfloat16)
+        s_qk = jax.lax.dot_general(
+            qb, kb, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ssq_q = jnp.sum(jnp.square(q), axis=0, keepdims=True)
+        ssq_k = jnp.sum(jnp.square(k), axis=0, keepdims=True)
 
     @pl.when(i == 0)
     def _():
@@ -189,17 +219,38 @@ def fused_ln_mdta(
 
     lnw_p = padc(ln_w, 0)
     lnb_p = padc(ln_b, 0)
-    # qkv: pad each of the three C-slabs to cp
     wq, wk, wv = jnp.split(w_qkv, 3, axis=1)
-    wqkv_p = jnp.concatenate(
-        [padc(padc(t, 0), 1) for t in (wq, wk, wv)], axis=1
-    )
     dq, dk, dv = jnp.split(w_dw, 3, axis=2)
-    wdw_p = jnp.concatenate([padc(t, 2) for t in (dq, dk, dv)], axis=2)
+    # packed-qk layout whenever it shrinks the tap lane count (C=48: the
+    # full-resolution level runs 256 instead of 384 dwconv lanes)
+    qkp = _lanes(2 * c) if _lanes(2 * c) < 2 * cp else 0
+    if qkp:
+        wqkv_p = jnp.concatenate(
+            [
+                padc(wq, 0),
+                padc(wk, 0),
+                jnp.zeros((cp, qkp - 2 * c), w_qkv.dtype),
+                padc(padc(wv, 0), 1),
+            ],
+            axis=1,
+        )
+        wdw_p = jnp.concatenate(
+            [dq, dk, jnp.zeros((3, 3, qkp - 2 * c), w_dw.dtype),
+             padc(dv, 2)],
+            axis=2,
+        )
+    else:
+        # qkv: pad each of the three C-slabs to cp
+        wqkv_p = jnp.concatenate(
+            [padc(padc(t, 0), 1) for t in (wq, wk, wv)], axis=1
+        )
+        wdw_p = jnp.concatenate([padc(t, 2) for t in (dq, dk, dv)], axis=2)
+    width = wqkv_p.shape[1]
+    sdim = qkp if qkp else cp
 
     kern_a = functools.partial(
         _kernel_a, th=th, w=w, wp=wp, c_real=c, cp=cp,
-        bias_free=bias_free, eps=eps,
+        bias_free=bias_free, eps=eps, qkp=qkp,
     )
     grid = (b, h // th)
     v_arr, s_qk, ssq_q, ssq_k = pl.pallas_call(
@@ -214,10 +265,10 @@ def fused_ln_mdta(
             pl.BlockSpec((cp,), lambda *_: (0,), memory_space=pltpu.VMEM),
             pl.BlockSpec((cp,), lambda *_: (0,), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (cp, 3 * cp), lambda *_: (0, 0), memory_space=pltpu.VMEM
+                (cp, width), lambda *_: (0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (3, 3, 3 * cp), lambda *_: (0, 0, 0),
+                (3, 3, width), lambda *_: (0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -227,11 +278,11 @@ def fused_ln_mdta(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, cp, cp), lambda bi, i: (bi, 0, 0),
+                (1, sdim, sdim), lambda bi, i: (bi, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 1, cp), lambda bi, i: (bi, 0, 0),
+                (1, 1, sdim), lambda bi, i: (bi, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -241,22 +292,34 @@ def fused_ln_mdta(
         ),
         out_shape=(
             jax.ShapeDtypeStruct((b, h, w, cp), dtype),
-            jax.ShapeDtypeStruct((b, cp, cp), jnp.float32),
-            jax.ShapeDtypeStruct((b, 1, cp), jnp.float32),
+            jax.ShapeDtypeStruct((b, sdim, sdim), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, sdim), jnp.float32),
             jax.ShapeDtypeStruct((b, 1, cp), jnp.float32),
         ),
         scratch_shapes=[
             pltpu.VMEM((2, wp, cp), dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
+        compiler_params=pltpu.CompilerParams(
+            # i accumulates S across stripes: must stay sequential
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 2**20,
+        ),
         interpret=interpret,
     )(xp, xp, lnw_p.astype(dtype), lnb_p.astype(dtype),
       wqkv_p.astype(dtype), wdw_p.astype(dtype))
 
     # --- tiny host-side attention over channel blocks ---
-    nq = jnp.sqrt(jnp.maximum(ssq_q[:, 0, :c], 1e-24))  # (B, C)
-    nk = jnp.sqrt(jnp.maximum(ssq_k[:, 0, :c], 1e-24))
-    s = s_qk[:, :c, :c]
+    if qkp:
+        # packed: ssq_q holds [||q||^2 | ||k||^2]; q^T k is the Gram
+        # matrix's [0:c, c:2c] block
+        nq = jnp.sqrt(jnp.maximum(ssq_q[:, 0, :c], 1e-24))
+        nk = jnp.sqrt(jnp.maximum(ssq_q[:, 0, c : 2 * c], 1e-24))
+        s = s_qk[:, :c, c : 2 * c]
+    else:
+        nq = jnp.sqrt(jnp.maximum(ssq_q[:, 0, :c], 1e-24))  # (B, C)
+        nk = jnp.sqrt(jnp.maximum(ssq_k[:, 0, :c], 1e-24))
+        s = s_qk[:, :c, :c]
     logits = s / jnp.maximum(nq[:, :, None] * nk[:, None, :], 1e-12)
     # restrict to per-head diagonal blocks
     hb = jnp.arange(c) // d
@@ -294,6 +357,10 @@ def fused_ln_mdta(
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((b, h, w, cp), dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=100 * 2**20,
+        ),
         interpret=interpret,
     )(v_arr, jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, cp - c))),
       attn_p, jnp.pad(w_proj, ((0, cp - c), (0, cp - c))).astype(dtype))

@@ -115,3 +115,97 @@ def test_fused_ln_mdta_matches_reference():
     assert out is not None
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=3e-4,
                                atol=3e-4)
+
+
+# ---- differentiable wrappers (ops/pallas/autodiff.py) ----
+
+
+def test_ln_gdfn_grads_match_xla():
+    from promptir_tpu.ops.pallas.autodiff import ln_gdfn, xla_ln_gdfn
+
+    c = 48
+    f = int(c * 2.66)
+    lnw, lnb, w1, wdw, w2 = _weights(c, f, seed=7)
+    x = jnp.asarray(
+        np.random.default_rng(8).normal(size=(1, 32, 32, c)).astype(np.float32)
+    )
+
+    def loss_fused(args):
+        return jnp.sum(jnp.square(ln_gdfn(*args, interpret=True)))
+
+    def loss_ref(args):
+        return jnp.sum(jnp.square(xla_ln_gdfn(*args)))
+
+    args = (x, lnw, lnb, w1, wdw, w2)
+    gf = jax.grad(loss_fused)(args)
+    gr = jax.grad(loss_ref)(args)
+    for a, b in zip(jax.tree.leaves(gf), jax.tree.leaves(gr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4,
+                                   atol=2e-4)
+
+
+def test_ln_mdta_grads_match_xla():
+    from promptir_tpu.ops.pallas.autodiff import ln_mdta, xla_ln_mdta
+
+    c, heads = 48, 2
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.normal(size=(1, 16, 16, c)).astype(np.float32))
+    lnw = jnp.asarray(rng.normal(size=(c,)).astype(np.float32) * 0.1 + 1)
+    lnb = jnp.asarray(rng.normal(size=(c,)).astype(np.float32) * 0.1)
+    wqkv = jnp.asarray(rng.normal(size=(c, 3 * c)).astype(np.float32) * 0.05)
+    wdw = jnp.asarray(rng.normal(size=(3, 3, 3 * c)).astype(np.float32) * 0.2)
+    wproj = jnp.asarray(rng.normal(size=(c, c)).astype(np.float32) * 0.05)
+    temp = jnp.asarray(rng.uniform(0.5, 2.0, (heads,)).astype(np.float32))
+
+    def loss_fused(args):
+        return jnp.sum(
+            jnp.square(ln_mdta(*args, heads, interpret=True))
+        )
+
+    def loss_ref(args):
+        return jnp.sum(jnp.square(xla_ln_mdta(*args, heads)))
+
+    args = (x, lnw, lnb, wqkv, wdw, wproj, temp)
+    gf = jax.grad(loss_fused)(args)
+    gr = jax.grad(loss_ref)(args)
+    for a, b in zip(jax.tree.leaves(gf), jax.tree.leaves(gr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4,
+                                   atol=5e-4)
+
+
+def test_fused_block_trains():
+    """A fused_ffn TransformerBlock must be end-to-end differentiable."""
+    from promptir_tpu.models.blocks import TransformerBlock
+
+    blk = TransformerBlock(dim=48, num_heads=1, fused_ffn=True)
+    x = jnp.asarray(
+        np.random.default_rng(10).normal(size=(1, 16, 16, 48))
+        .astype(np.float32)
+    )
+
+    # interpret-mode Pallas on CPU: patch the wrapper entry points (init
+    # also runs the fused forward, so patch before it)
+    import functools
+
+    import promptir_tpu.ops.pallas.autodiff as ad
+
+    def loss(p):
+        return jnp.mean(jnp.square(blk.apply(p, x)))
+
+    orig_g, orig_m = ad.ln_gdfn, ad.ln_mdta
+    ad.ln_gdfn = functools.partial(orig_g, interpret=True)
+    ad.ln_mdta = functools.partial(orig_m, interpret=True)
+    try:
+        params = blk.init(jax.random.PRNGKey(0), x)
+        g = jax.grad(loss)(params)
+    finally:
+        ad.ln_gdfn, ad.ln_mdta = orig_g, orig_m
+
+    # reference: unfused block with the same params
+    ref_blk = TransformerBlock(dim=48, num_heads=1, fused_ffn=False)
+    g_ref = jax.grad(lambda p: jnp.mean(jnp.square(ref_blk.apply(p, x))))(
+        params
+    )
+    for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3,
+                                   atol=2e-4)

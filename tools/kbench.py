@@ -1,0 +1,120 @@
+"""Microbenchmark the fused Pallas kernels on the real TPU.
+
+Times one fused op (LN+GDFN or LN+MDTA) at a given activation shape by
+chaining `--inner` iterations inside one jit (the axon relay costs ~2.8 ms
+per dispatch, and block_until_ready can return early — so iterations are
+scan-chained and the measurement is fenced by fetching a dependent scalar).
+
+Usage:
+  python tools/kbench.py --op gdfn --shape 4 512 512 48
+  python tools/kbench.py --op mdta --shape 4 512 512 48 --ablate-gelu
+
+`--ablate-gelu` patches the in-kernel erf to identity to isolate the
+transcendental's share of runtime (gdfn only).
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_gdfn(shape, dtype):
+    from promptir_tpu.ops.pallas.gdfn import fused_ln_gdfn
+
+    b, h, w, c = shape
+    f = int(c * 2.66)
+    rng = np.random.default_rng(0)
+    lnw = jnp.asarray(rng.normal(size=(c,)).astype(np.float32) * 0.02 + 1)
+    lnb = jnp.asarray(rng.normal(size=(c,)).astype(np.float32) * 0.02)
+    w1 = jnp.asarray(rng.normal(size=(c, 2 * f)).astype(np.float32) * 0.02)
+    wdw = jnp.asarray(rng.normal(size=(3, 3, 2 * f)).astype(np.float32) * 0.1)
+    w2 = jnp.asarray(rng.normal(size=(f, c)).astype(np.float32) * 0.02)
+
+    def op(x):
+        return fused_ln_gdfn(x, lnw, lnb, w1, wdw, w2)
+
+    flops = 2 * b * h * w * (c * 2 * f + f * c) + 18 * b * h * w * 2 * f
+    return op, flops
+
+
+def build_mdta(shape, dtype, heads=1):
+    from promptir_tpu.ops.pallas.mdta import fused_ln_mdta
+
+    b, h, w, c = shape
+    rng = np.random.default_rng(0)
+    lnw = jnp.asarray(rng.normal(size=(c,)).astype(np.float32) * 0.02 + 1)
+    lnb = jnp.asarray(rng.normal(size=(c,)).astype(np.float32) * 0.02)
+    wqkv = jnp.asarray(rng.normal(size=(c, 3 * c)).astype(np.float32) * 0.02)
+    wdw = jnp.asarray(
+        rng.normal(size=(3, 3, 3 * c)).astype(np.float32) * 0.1
+    )
+    wproj = jnp.asarray(rng.normal(size=(c, c)).astype(np.float32) * 0.02)
+    temp = jnp.ones((heads,), jnp.float32)
+
+    def op(x):
+        return fused_ln_mdta(x, lnw, lnb, wqkv, wdw, wproj, temp, heads)
+
+    n = b * h * w
+    flops = 2 * n * (c * 3 * c) + 18 * n * 3 * c + 2 * n * c * c * 2
+    return op, flops
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--op", choices=["gdfn", "mdta"], default="gdfn")
+    p.add_argument("--shape", type=int, nargs=4, default=[4, 512, 512, 48])
+    p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--heads", type=int, default=1)
+    p.add_argument("--inner", type=int, default=10)
+    p.add_argument("--reps", type=int, default=3)
+    p.add_argument("--ablate-gelu", action="store_true")
+    args = p.parse_args()
+
+    if args.ablate_gelu:
+        import promptir_tpu.ops.pallas.gdfn as g
+
+        g._erf = lambda x: x  # isolate the transcendental's cost
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    shape = tuple(args.shape)
+    if args.op == "gdfn":
+        op, flops = build_gdfn(shape, dtype)
+    else:
+        op, flops = build_mdta(shape, dtype, args.heads)
+
+    def chain(x):
+        def body(x, _):
+            return op(x), None
+
+        y, _ = jax.lax.scan(body, x, None, length=args.inner)
+        return y
+
+    fn = jax.jit(chain)
+    x = jnp.asarray(
+        np.random.default_rng(1).uniform(-1, 1, shape).astype(np.float32)
+    ).astype(dtype)
+
+    y = fn(x)
+    float(jnp.sum(y))  # fence (block_until_ready lies through the relay)
+    times = []
+    for _ in range(args.reps):
+        t0 = time.perf_counter()
+        y = fn(x)
+        float(jnp.sum(y))
+        times.append((time.perf_counter() - t0) / args.inner)
+    ms = min(times) * 1e3
+    gb = 2 * np.prod(shape) * (2 if dtype == jnp.bfloat16 else 4) / 1e9
+    print(
+        f"{args.op} {shape} {args.dtype}: {ms:.3f} ms/call  "
+        f"{flops / (ms / 1e3) / 1e12:.2f} TFLOP/s  "
+        f"{gb / (ms / 1e3):.1f} GB/s (x-read+write floor)"
+    )
+
+
+if __name__ == "__main__":
+    main()
