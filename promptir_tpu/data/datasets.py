@@ -41,7 +41,20 @@ IMAGE_EXTENSIONS = (".jpg", ".jpeg", ".png", ".bmp")
 
 
 def load_image_rgb(path: str) -> np.ndarray:
-    """Load an image file as HWC uint8 RGB."""
+    """Load an image file as HWC uint8 RGB.
+
+    PNGs decode through the native C++ reader (zlib + unfilter, GIL
+    released — see native/png_decode.cpp); anything it declines (JPEG,
+    16-bit, interlaced) falls back to PIL with identical output.
+    """
+    if path.lower().endswith(".png"):
+        from promptir_tpu.data import native
+
+        with open(path, "rb") as f:
+            data = f.read()
+        out = native.decode_png_rgb(data)
+        if out is not None:
+            return out
     with Image.open(path) as im:
         return np.array(im.convert("RGB"))
 

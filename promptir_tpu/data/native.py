@@ -64,12 +64,48 @@ def load() -> Optional[ctypes.CDLL]:
         ctypes.c_int, ctypes.c_int, f32p, f32p,
     ]
     lib.prepare_paired_sample.restype = None
+    if hasattr(lib, "promptir_png_decode_rgb"):
+        lib.promptir_png_info.argtypes = [
+            u8p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.promptir_png_info.restype = ctypes.c_int
+        lib.promptir_png_decode_rgb.argtypes = [
+            u8p, ctypes.c_int64, u8p, ctypes.c_int64,
+        ]
+        lib.promptir_png_decode_rgb.restype = ctypes.c_int
     _LIB = lib
     return _LIB
 
 
 def available() -> bool:
     return load() is not None
+
+
+def decode_png_rgb(data: bytes) -> Optional[np.ndarray]:
+    """Decode an in-memory PNG to HWC uint8 RGB with the native reader.
+
+    Returns None when the native library is missing or the file is outside
+    the decoder's scope (JPEG, 16-bit, interlaced, ...) — callers fall back
+    to PIL. GIL is released during the C call, so thread-pool loaders get
+    real decode parallelism (the reference needs 16 worker *processes* for
+    the same effect, /root/reference/train.py:336-337).
+    """
+    lib = load()
+    if lib is None or not hasattr(lib, "promptir_png_decode_rgb"):
+        return None
+    buf = np.frombuffer(data, np.uint8)
+    h = ctypes.c_int32()
+    w = ctypes.c_int32()
+    if lib.promptir_png_info(buf, buf.size, ctypes.byref(h),
+                             ctypes.byref(w)) != 0:
+        return None
+    out = np.empty((h.value, w.value, 3), np.uint8)
+    rc = lib.promptir_png_decode_rgb(buf, buf.size, out.reshape(-1),
+                                     out.size)
+    if rc != 0:
+        return None
+    return out
 
 
 def prepare_denoise_sample(

@@ -74,3 +74,50 @@ def test_dataset_native_vs_python_crops_match(tmp_path):
     np.testing.assert_array_equal(cn, cp)
     # noise streams differ by design but share sigma
     assert abs((dn - cn).std() - (dp - cp).std()) < 0.01
+
+
+def test_png_decode_matches_pil():
+    """Native PNG reader vs PIL across color modes (+ JPEG fallback)."""
+    import io
+
+    from PIL import Image
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 256, (37, 53, 3), dtype=np.uint8)
+    cases = {
+        "RGB": Image.fromarray(base, "RGB"),
+        "L": Image.fromarray(base[..., 0], "L"),
+        "RGBA": Image.fromarray(
+            np.concatenate([base, np.full((37, 53, 1), 255, np.uint8)], -1),
+            "RGBA",
+        ),
+        "P": Image.fromarray(base, "RGB").convert(
+            "P", palette=Image.ADAPTIVE
+        ),
+        "LA": Image.fromarray(base[..., 0], "L").convert("LA"),
+    }
+    for mode, im in cases.items():
+        buf = io.BytesIO()
+        im.save(buf, format="PNG")
+        data = buf.getvalue()
+        out = native.decode_png_rgb(data)
+        assert out is not None, f"native decoder declined mode {mode}"
+        ref = np.array(Image.open(io.BytesIO(data)).convert("RGB"))
+        np.testing.assert_array_equal(out, ref, err_msg=f"mode {mode}")
+
+    # out-of-scope input -> None (caller falls back to PIL)
+    buf = io.BytesIO()
+    Image.fromarray(base, "RGB").save(buf, format="JPEG")
+    assert native.decode_png_rgb(buf.getvalue()) is None
+
+
+def test_load_image_rgb_uses_native_path(tmp_path):
+    from PIL import Image
+
+    from promptir_tpu.data.datasets import load_image_rgb
+
+    rng = np.random.default_rng(8)
+    arr = rng.integers(0, 256, (21, 19, 3), dtype=np.uint8)
+    p = tmp_path / "img.png"
+    Image.fromarray(arr).save(p)
+    np.testing.assert_array_equal(load_image_rgb(str(p)), arr)
