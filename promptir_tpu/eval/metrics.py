@@ -22,6 +22,8 @@ Also provides `AverageMeter` (val_utils.py:8-26) for harness parity.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -148,21 +150,28 @@ def gaussian_ssim(
     return jnp.mean(m, axis=(1, 2, 3))
 
 
-def compute_niqe(image) -> float:
-    """NIQE (reference utils/val_utils.py:69-74 via skvideo). The NIQE
-    fitted multivariate-Gaussian parameters ship with skvideo; without that
-    package the metric is unavailable offline."""
-    try:
-        from skvideo.measure import niqe  # type: ignore
-    except ImportError as e:
-        raise NotImplementedError(
-            "NIQE requires skvideo's pretrained natural-scene statistics "
-            "parameters, which are not available in this environment"
-        ) from e
+def compute_niqe(image, model=None) -> float:
+    """NIQE (reference utils/val_utils.py:69-74 via skvideo).
+
+    Runs our own implementation of the published algorithm
+    (promptir_tpu/eval/niqe.py). The pristine multivariate-Gaussian model
+    is not redistributable, so either pass `model`, fit one with
+    `fit_niqe_model` / `python -m promptir_tpu.cli.fit_niqe`, or — when
+    skvideo happens to be installed — its bundled parameters are used for
+    score parity with the reference."""
     import numpy as np
 
     arr = np.clip(np.asarray(image), 0, 1)
-    return float(niqe(arr).mean())
+    from promptir_tpu.eval import niqe as _niqe
+
+    if model is None and not os.path.exists(_niqe._default_model_path()):
+        try:
+            from skvideo.measure import niqe as sk_niqe  # type: ignore
+
+            return float(sk_niqe(arr).mean())
+        except ImportError:
+            pass  # fall through to our implementation's error message
+    return _niqe.niqe(arr, model=model)
 
 
 class AverageMeter:

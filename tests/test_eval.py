@@ -124,3 +124,61 @@ def test_average_meter():
     m.update(4.0, 1)
     assert m.avg == pytest.approx(2.0)
     assert m.count == 3
+
+
+# ---- NIQE (own implementation + fit tooling, eval/niqe.py) ----
+
+
+def test_niqe_ggd_fit_recovers_gaussian():
+    from promptir_tpu.eval.niqe import _aggd_fit, _ggd_fit
+
+    rng = np.random.default_rng(0)
+    vec = rng.normal(0, 2.0, 200000)
+    alpha, sigma_sq = _ggd_fit(vec)
+    assert abs(alpha - 2.0) < 0.1  # Gaussian -> shape 2
+    assert abs(sigma_sq - 4.0) < 0.1
+    a, mean, lv, rv = _aggd_fit(vec)
+    assert abs(a - 2.0) < 0.15
+    assert abs(mean) < 0.05
+    assert abs(lv - rv) < 0.2
+
+
+def test_niqe_fit_and_score_orders_degradations(tmp_path):
+    from promptir_tpu.data.synthetic import synth_clean_image
+    from promptir_tpu.eval.niqe import (
+        fit_niqe_model,
+        load_niqe_model,
+        niqe,
+        save_niqe_model,
+    )
+
+    def gray(seed):
+        rgb = synth_clean_image(seed, 192, 192).astype(np.float64)
+        return 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+
+    model = fit_niqe_model([gray(s) for s in range(6)])
+    p = str(tmp_path / "m.npz")
+    save_niqe_model(p, model)
+    model = load_niqe_model(p)
+
+    clean = synth_clean_image(99, 192, 192).astype(np.float64) / 255.0
+    rng = np.random.default_rng(1)
+    noisy = np.clip(clean + rng.normal(0, 50 / 255.0, clean.shape), 0, 1)
+    s_clean = niqe(clean, model=model)
+    s_noisy = niqe(noisy, model=model)
+    assert np.isfinite(s_clean) and np.isfinite(s_noisy)
+    assert s_noisy > s_clean, (s_noisy, s_clean)
+
+
+def test_compute_niqe_gate_message():
+    import pytest
+
+    from promptir_tpu.eval.metrics import compute_niqe
+
+    img = np.zeros((128, 128, 3), np.float32)
+    try:
+        compute_niqe(img)
+    except NotImplementedError as e:
+        assert "fit" in str(e)
+    else:  # a model file or skvideo exists in this environment
+        pass

@@ -39,9 +39,11 @@ def test_patch_slice_splice_roundtrip():
 
 
 def test_niqe_gated():
+    # without a fitted pristine model (and no skvideo) the error explains
+    # how to fit one; with either present, any numeric result is fine
     try:
-        compute_niqe(np.zeros((1, 64, 64, 3)))
+        compute_niqe(np.zeros((128, 128, 3)))
     except NotImplementedError as e:
-        assert "skvideo" in str(e)
+        assert "fit" in str(e)
     except Exception:
-        pass  # if skvideo were present, any numeric result is fine
+        pass
