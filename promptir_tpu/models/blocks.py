@@ -59,9 +59,11 @@ class _GDFNParams(nn.Module):
 class TransformerBlock(nn.Module):
     """x += MDTA(LN(x)); x += GDFN(LN(x)).
 
-    `fused_ffn=True` runs both branches through Pallas TPU kernels (same
-    params/paths; bias-less configs only) — a large HBM-bandwidth win on
-    full-resolution levels. Forward-only.
+    `fused_ffn=True` runs the whole block through Pallas TPU kernels (same
+    params/paths; bias-less configs only): an MDTA stats pass, then one
+    fused attention-apply + LN + GDFN tail — a large HBM-bandwidth win on
+    full-resolution levels. Differentiable via the custom-VJP wrappers in
+    ops/pallas/autodiff.py (backward = remat through the unfused math).
     """
 
     dim: int
@@ -74,9 +76,15 @@ class TransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        fused_attn_done = False
+        hidden = int(self.dim * self.expansion)
         if self.fused_ffn and not self.use_bias:
-            from promptir_tpu.ops.pallas.autodiff import ln_mdta, xla_ln_mdta
+            from promptir_tpu.ops.pallas.autodiff import (
+                ln_block,
+                ln_gdfn,
+                ln_mdta,
+                xla_ln_gdfn,
+                xla_ln_mdta,
+            )
 
             lnw1, lnb1 = _LNParams(
                 self.dim, self.bias_free_norm, name="norm1"
@@ -101,6 +109,10 @@ class TransformerBlock(nn.Module):
             wqkv, wdw, wproj, temp = _AttnParams(
                 self.dim, self.num_heads, name="attn"
             )()
+            lnw2, lnb2 = _LNParams(
+                self.dim, self.bias_free_norm, name="norm2"
+            )()
+            w1, wdwf, w2 = _GDFNParams(self.dim, hidden, name="ffn")()
             margs = (
                 x.astype(self.dtype),
                 lnw1,
@@ -111,41 +123,37 @@ class TransformerBlock(nn.Module):
                 temp,
                 self.num_heads,
             )
-            out = ln_mdta(*margs, bias_free=self.bias_free_norm)
-            if out is None:
-                # no VMEM-fitting stripe for this shape: same params, XLA
-                out = xla_ln_mdta(*margs, bias_free=self.bias_free_norm)
-            x = out.astype(x.dtype)
-            fused_attn_done = True
-        if not fused_attn_done:
-            y = RestormerLayerNorm(
-                self.dim, self.bias_free_norm, name="norm1"
-            )(x)
-            x = x + MDTA(
-                self.dim, self.num_heads, self.use_bias, self.dtype,
-                name="attn",
-            )(y)
-        hidden = int(self.dim * self.expansion)
-        if self.fused_ffn and not self.use_bias:
-            from promptir_tpu.ops.pallas.autodiff import ln_gdfn, xla_ln_gdfn
-
-            lnw, lnb = _LNParams(
-                self.dim, self.bias_free_norm, name="norm2"
-            )()
-            w1, wdw, w2 = _GDFNParams(self.dim, hidden, name="ffn")()
             gargs = (
-                x.astype(self.dtype),
-                lnw,
-                lnb,
+                lnw2,
+                lnb2,
                 w1.reshape(self.dim, 2 * hidden),
-                wdw.reshape(3, 3, 2 * hidden),
+                wdwf.reshape(3, 3, 2 * hidden),
                 w2.reshape(hidden, self.dim),
             )
-            out = ln_gdfn(*gargs, bias_free=self.bias_free_norm)
+            # whole-block fusion: stats pass + (attn-apply + LN + GDFN)
+            # tail; x2 never round-trips HBM between the branches
+            out = ln_block(
+                *margs[:7], self.num_heads, *gargs,
+                bias_free=self.bias_free_norm,
+            )
+            if out is not None:
+                return out.astype(x.dtype)
+            # per-branch fused kernels, then plain XLA, same params/paths
+            out = ln_mdta(*margs, bias_free=self.bias_free_norm)
             if out is None:
-                # no VMEM-fitting stripe for this shape: same params, XLA
-                out = xla_ln_gdfn(*gargs, bias_free=self.bias_free_norm)
+                out = xla_ln_mdta(*margs, bias_free=self.bias_free_norm)
+            x2 = out
+            out = ln_gdfn(x2, *gargs, bias_free=self.bias_free_norm)
+            if out is None:
+                out = xla_ln_gdfn(x2, *gargs, bias_free=self.bias_free_norm)
             return out.astype(x.dtype)
+        y = RestormerLayerNorm(
+            self.dim, self.bias_free_norm, name="norm1"
+        )(x)
+        x = x + MDTA(
+            self.dim, self.num_heads, self.use_bias, self.dtype,
+            name="attn",
+        )(y)
         y = RestormerLayerNorm(self.dim, self.bias_free_norm, name="norm2")(x)
         x = x + GDFN(
             self.dim, self.expansion, self.use_bias, self.dtype, name="ffn"

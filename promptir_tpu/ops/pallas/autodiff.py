@@ -128,6 +128,66 @@ def _ln_mdta_bwd(num_heads, bias_free, eps, interpret, res, g):
 _ln_mdta.defvjp(_ln_mdta_fwd, _ln_mdta_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13, 14, 15))
+def _ln_block(x, ln1w, ln1b, wqkv, wdwa, wproj, temp,
+              ln2w, ln2b, w1, wdwf, w2, num_heads, bias_free, eps,
+              interpret):
+    from promptir_tpu.ops.pallas.block import fused_transformer_block
+
+    out = fused_transformer_block(
+        x, ln1w, ln1b, wqkv, wdwa, wproj, temp, num_heads,
+        ln2w, ln2b, w1, wdwf, w2,
+        bias_free=bias_free, eps=eps, interpret=interpret,
+    )
+    assert out is not None
+    return out
+
+
+def _ln_block_fwd(x, ln1w, ln1b, wqkv, wdwa, wproj, temp, ln2w, ln2b, w1,
+                  wdwf, w2, num_heads, bias_free, eps, interpret):
+    return (
+        _ln_block(x, ln1w, ln1b, wqkv, wdwa, wproj, temp, ln2w, ln2b, w1,
+                  wdwf, w2, num_heads, bias_free, eps, interpret),
+        (x, ln1w, ln1b, wqkv, wdwa, wproj, temp, ln2w, ln2b, w1, wdwf, w2),
+    )
+
+
+def _ln_block_bwd(num_heads, bias_free, eps, interpret, res, g):
+    def ref(x, ln1w, ln1b, wqkv, wdwa, wproj, temp, ln2w, ln2b, w1, wdwf,
+            w2):
+        x2 = xla_ln_mdta(x, ln1w, ln1b, wqkv, wdwa, wproj, temp, num_heads,
+                         bias_free=bias_free, eps=eps)
+        return xla_ln_gdfn(x2, ln2w, ln2b, w1, wdwf, w2,
+                           bias_free=bias_free, eps=eps)
+
+    _, vjp = jax.vjp(ref, *res)
+    return vjp(g.astype(res[0].dtype))
+
+
+_ln_block.defvjp(_ln_block_fwd, _ln_block_bwd)
+
+
+def ln_block(x, ln1w, ln1b, wqkv, wdwa, wproj, temp, num_heads,
+             ln2w, ln2b, w1, wdwf, w2, *, bias_free=False, eps=1e-5,
+             interpret=False):
+    """Differentiable whole-TransformerBlock fusion (stats pass + fused
+    MDTA-apply+LN+GDFN tail); None if either pass doesn't fit VMEM."""
+    from promptir_tpu.ops.pallas.block import _pick_th_tail
+
+    _, h, w, c = x.shape
+    cp = _gdfn._lanes(c)
+    if (
+        _mdta._pick_th(h, w, cp) is None
+        or cp % num_heads
+        or _pick_th_tail(h, w, cp, w1.shape[1]) is None
+    ):
+        return None
+    ln1b = jnp.zeros_like(ln1w) if ln1b is None else ln1b
+    ln2b = jnp.zeros_like(ln2w) if ln2b is None else ln2b
+    return _ln_block(x, ln1w, ln1b, wqkv, wdwa, wproj, temp, ln2w, ln2b,
+                     w1, wdwf, w2, num_heads, bias_free, eps, interpret)
+
+
 def ln_gdfn(x, lnw, lnb, w1, wdw, w2, *, bias_free=False, eps=1e-5,
             interpret=False):
     """Differentiable fused x + GDFN(LN(x)); None if no stripe fits VMEM."""

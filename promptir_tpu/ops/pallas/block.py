@@ -1,0 +1,301 @@
+"""Whole-TransformerBlock fusion: MDTA apply + LN + GDFN in one kernel.
+
+A TransformerBlock (/root/reference/net/model.py:183-196) is
+  x2 = x + MDTA(LN1(x));  out = x2 + GDFN(LN2(x2)).
+With the two-kernel MDTA (ops/pallas/mdta.py) plus the GDFN kernel
+(ops/pallas/gdfn.py), x2 makes a full HBM round-trip between the MDTA
+apply pass and the FFN pass. This module fuses those two into one "tail"
+kernel: it streams v (from the MDTA stats pass) and x in row stripes,
+applies the attention matrix + out-projection + residual in registers,
+and feeds x2 straight into the LN+GDFN body. Per block that removes two
+full-resolution HBM transfers and one kernel launch's per-program
+overhead; x2 also stays fp32 into LN2 instead of being rounded to the
+storage dtype in between.
+
+`fused_transformer_block` assembles the full block: mdta_stats (kernel A
++ the tiny softmax) then the tail. Differentiability comes from
+`ops/pallas/autodiff.py` (custom-VJP over the whole block).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from promptir_tpu.ops.pallas.gdfn import _erf, _lanes, _pad_last
+from promptir_tpu.ops.pallas import mdta as _mdta
+
+
+def _pick_th_tail(h, w, cp, two_f, vmem_budget=44 * 2**20):
+    """Largest stripe height for the tail kernel's working set."""
+    two_fp = _lanes(two_f)
+    wp = w + 2 + ((-(w + 2)) % 8)
+    for th in (32, 16, 8, 4, 2):
+        if h % th:
+            continue
+        x_blocks = (th + 2) * wp * cp * 2 * 2      # x stripe (dbl-buffered)
+        v_blocks = (th + 2) * w * cp * 2 * 2       # v stripe
+        x2 = (th + 2) * wp * cp * 4                # fp32 x2
+        hidden = (th + 2) * wp * two_fp * 4
+        acc = th * w * two_fp * 4
+        out = th * w * cp * 4 * 2
+        if x_blocks + v_blocks + x2 + hidden + acc + out < vmem_budget:
+            return th
+    return None
+
+
+def _tail_kernel(vb_ref, xb_ref, v_hbm, x_hbm, attn_ref, wproj_ref,
+                 lnw_ref, lnb_ref, w1_ref, wdw_ref, w2_ref, out_ref,
+                 vhalo_ref, xhalo_ref, sem, *, th, w, wp, c_real,
+                 bias_free, eps):
+    cp = xb_ref.shape[-1]
+    two_fp = w1_ref.shape[-1]
+    fp = two_fp // 2
+    i = pl.program_id(1)
+    bi = pl.program_id(0)
+    h_total = th * pl.num_programs(1)
+
+    top_row = jnp.maximum(i * th - 1, 0)
+    bot_row = jnp.minimum(i * th + th, h_total - 1)
+    copies = [
+        pltpu.make_async_copy(
+            x_hbm.at[bi, pl.ds(top_row, 1), :, :], xhalo_ref.at[0:1],
+            sem.at[0],
+        ),
+        pltpu.make_async_copy(
+            x_hbm.at[bi, pl.ds(bot_row, 1), :, :], xhalo_ref.at[1:2],
+            sem.at[1],
+        ),
+        pltpu.make_async_copy(
+            v_hbm.at[bi, pl.ds(top_row, 1), :, :], vhalo_ref.at[0:1],
+            sem.at[2],
+        ),
+        pltpu.make_async_copy(
+            v_hbm.at[bi, pl.ds(bot_row, 1), :, :], vhalo_ref.at[1:2],
+            sem.at[3],
+        ),
+    ]
+    for cpy in copies:
+        cpy.start()
+    for cpy in copies:
+        cpy.wait()
+
+    xt = jnp.concatenate([xhalo_ref[0:1], xb_ref[0], xhalo_ref[1:2]], axis=0)
+    vt = jnp.concatenate([vhalo_ref[0:1], vb_ref[0], vhalo_ref[1:2]], axis=0)
+
+    # ---- MDTA apply (the old kernel B) on th+2 rows ----
+    av = jax.lax.dot_general(
+        vt.reshape(-1, cp), attn_ref[0],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(vt.dtype)
+    o = jax.lax.dot_general(
+        av, wproj_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(th + 2, w, cp)
+    # widen o to the padded stripe width (pad cols never reach the output:
+    # the y mask below zeroes them before the expansion matmul and the
+    # residual slice takes the interior only)
+    o_wide = jnp.concatenate(
+        [
+            jnp.zeros((th + 2, 1, cp), jnp.float32),
+            o,
+            jnp.zeros((th + 2, wp - w - 1, cp), jnp.float32),
+        ],
+        axis=1,
+    )
+    x2 = xt.astype(jnp.float32) + o_wide  # (th+2, wp, cp) fp32
+
+    # ---- LN2 + GDFN on x2 (same math as gdfn._kernel) ----
+    ssum = jnp.sum(x2, axis=-1, keepdims=True)
+    ssq = jnp.sum(jnp.square(x2), axis=-1, keepdims=True)
+    mu = ssum / c_real
+    var = ssq / c_real - jnp.square(mu)
+    inv = jax.lax.rsqrt(var + eps)
+    if bias_free:
+        y = x2 * inv * lnw_ref[:].astype(jnp.float32)
+    else:
+        y = (x2 - mu) * inv * lnw_ref[:].astype(jnp.float32) + lnb_ref[
+            :
+        ].astype(jnp.float32)
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (th + 2, wp, 1), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (th + 2, wp, 1), 1)
+    invalid = (cols == 0) | (cols >= w + 1)
+    invalid = invalid | ((rows == 0) & (i == 0))
+    invalid = invalid | ((rows == th + 1) & (i == pl.num_programs(1) - 1))
+    y = jnp.where(invalid, 0, y).astype(xt.dtype)
+
+    hidden = jax.lax.dot_general(
+        y.reshape(-1, cp), w1_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(th + 2, wp, two_fp)
+
+    acc = jnp.zeros((th, w, two_fp), jnp.float32)
+    for di in range(3):
+        for dj in range(3):
+            acc = acc + hidden[di : di + th, dj : dj + w, :] * wdw_ref[
+                di, dj, :
+            ].astype(jnp.float32)
+
+    x1 = acc[:, :, :fp]
+    g2 = acc[:, :, fp:]
+    gelu = 0.5 * x1 * (1.0 + _erf(x1 * 0.7071067811865476))
+    gated = (gelu * g2).astype(xt.dtype)
+
+    ffn = jax.lax.dot_general(
+        gated.reshape(-1, fp), w2_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(th, w, cp)
+
+    residual = x2[1 : th + 1, 1 : w + 1, :]
+    out_ref[0] = (ffn + residual).astype(out_ref.dtype)
+
+
+def fused_block_tail(
+    v: jnp.ndarray,
+    x: jnp.ndarray,
+    attn: jnp.ndarray,
+    w_proj: jnp.ndarray,
+    ln_w: jnp.ndarray,
+    ln_b: jnp.ndarray | None,
+    w1: jnp.ndarray,
+    wdw: jnp.ndarray,
+    w2: jnp.ndarray,
+    *,
+    bias_free: bool = False,
+    eps: float = 1e-5,
+    interpret: bool = False,
+):
+    """(x + attn-apply(v)) + GDFN(LN(...)) in one pass.
+
+    v: (B,H,W,cp) and attn: (B,cp,cp) from `mdta.mdta_stats`; x: (B,H,W,C).
+    Returns (B,H,W,C) in x.dtype, or None if no stripe fits VMEM.
+    """
+    b, h, w, c = x.shape
+    cp = _lanes(c)
+    two_f = w1.shape[1]
+    f = two_f // 2
+    fpad = _lanes(f)
+    th = _pick_th_tail(h, w, cp, two_f)
+    if th is None:
+        return None
+
+    w_extra = (-(w + 2)) % 8
+    wp = w + 2 + w_extra
+    dtype = x.dtype
+    xp = jnp.pad(x, ((0, 0), (0, 0), (1, 1 + w_extra), (0, cp - c)))
+    if ln_b is None:
+        ln_b = jnp.zeros_like(ln_w)
+
+    lnw_p = _pad_last(ln_w, cp)
+    lnb_p = _pad_last(ln_b, cp)
+    w1_p = jnp.concatenate(
+        [
+            _pad_last(jnp.pad(w1[:, :f], ((0, cp - c), (0, 0))), fpad),
+            _pad_last(jnp.pad(w1[:, f:], ((0, cp - c), (0, 0))), fpad),
+        ],
+        axis=-1,
+    )
+    wdw_p = jnp.concatenate(
+        [_pad_last(wdw[:, :, :f], fpad), _pad_last(wdw[:, :, f:], fpad)],
+        axis=-1,
+    )
+    w2_p = jnp.pad(w2, ((0, fpad - f), (0, cp - c)))
+    wproj_p = jnp.pad(w_proj, ((0, cp - c), (0, cp - c)))
+
+    kern = functools.partial(
+        _tail_kernel, th=th, w=w, wp=wp, c_real=c, bias_free=bias_free,
+        eps=eps,
+    )
+    grid = (b, h // th)
+    out = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, th, w, cp), lambda bi, i: (bi, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, th, wp, cp), lambda bi, i: (bi, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # v, halo rows by DMA
+            pl.BlockSpec(memory_space=pltpu.ANY),  # x, halo rows by DMA
+            pl.BlockSpec(
+                (1, cp, cp), lambda bi, i: (bi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (cp, cp), lambda *_: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((cp,), lambda *_: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((cp,), lambda *_: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (cp, 2 * fpad), lambda *_: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (3, 3, 2 * fpad), lambda *_: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (fpad, cp), lambda *_: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, th, w, cp), lambda bi, i: (bi, i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, cp), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, w, cp), dtype),
+            pltpu.VMEM((2, wp, cp), dtype),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=100 * 2**20,
+        ),
+        interpret=interpret,
+    )(v, xp, v, xp, attn, wproj_p.astype(dtype), lnw_p.astype(dtype),
+      lnb_p.astype(dtype), w1_p.astype(dtype), wdw_p.astype(dtype),
+      w2_p.astype(dtype))
+    return out[:, :, :, :c] if cp != c else out
+
+
+def fused_transformer_block(
+    x: jnp.ndarray,
+    ln1_w, ln1_b, w_qkv, w_dw, w_proj, temperature, num_heads,
+    ln2_w, ln2_b, w1, wdw, w2,
+    *,
+    bias_free: bool = False,
+    eps: float = 1e-5,
+    interpret: bool = False,
+):
+    """Full TransformerBlock as stats pass + fused tail.
+
+    Returns (B,H,W,C) or None (caller falls back) when either pass has no
+    VMEM-fitting stripe.
+    """
+    b, h, w, c = x.shape
+    if _pick_th_tail(h, w, _lanes(c), w1.shape[1]) is None:
+        return None
+    stats = _mdta.mdta_stats(
+        x, ln1_w, ln1_b, w_qkv, w_dw, temperature, num_heads,
+        bias_free=bias_free, eps=eps, interpret=interpret,
+    )
+    if stats is None:
+        return None
+    v, attn = stats
+    return fused_block_tail(
+        v, x, attn, w_proj, ln2_w, ln2_b, w1, wdw, w2,
+        bias_free=bias_free, eps=eps, interpret=interpret,
+    )

@@ -197,6 +197,76 @@ def fused_ln_mdta(
 ):
     """x + MDTA(LN(x)) fused. w_qkv: (C,3C); w_dw: (3,3,3C); w_proj: (C,C);
     temperature: (heads,). Returns (B,H,W,C) or None if no stripe fits."""
+    stats = mdta_stats(
+        x, ln_w, ln_b, w_qkv, w_dw, temperature, num_heads,
+        bias_free=bias_free, eps=eps, interpret=interpret,
+    )
+    if stats is None:
+        return None
+    v_arr, attn_p = stats
+    b, h, w, c = x.shape
+    cp = _lanes(c)
+    th = _pick_th(h, w, cp)
+    dtype = x.dtype
+    grid = (b, h // th)
+
+    kern_b = functools.partial(_kernel_b, cp=cp)
+    out = pl.pallas_call(
+        kern_b,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, th, w, cp), lambda bi, i: (bi, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, th, w, cp), lambda bi, i: (bi, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, cp, cp), lambda bi, i: (bi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (cp, cp), lambda *_: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, th, w, cp), lambda bi, i: (bi, i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, cp), dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=100 * 2**20,
+        ),
+        interpret=interpret,
+    )(v_arr, jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, cp - c))),
+      attn_p, jnp.pad(w_proj, ((0, cp - c), (0, cp - c))).astype(dtype))
+    return out[:, :, :, :c] if cp != c else out
+
+
+def mdta_stats(
+    x: jnp.ndarray,
+    ln_w: jnp.ndarray,
+    ln_b: jnp.ndarray | None,
+    w_qkv: jnp.ndarray,
+    w_dw: jnp.ndarray,
+    temperature: jnp.ndarray,
+    num_heads: int,
+    *,
+    bias_free: bool = False,
+    eps: float = 1e-5,
+    interpret: bool = False,
+):
+    """Kernel A + the tiny host-side softmax: LN -> qkv -> dwconv, with v
+    streamed to HBM and the (C, C) block-diagonal attention matrix built
+    from the accumulated Gram statistics.
+
+    Returns (v, attn) with v: (B,H,W,cp) in x.dtype and attn: (B,cp,cp) in
+    x.dtype — the inputs of the apply pass (kernel B or the fused block
+    tail in ops/pallas/block.py) — or None if no stripe fits VMEM.
+    """
     b, h, w, c = x.shape
     d = c // num_heads
     cp = _lanes(c)
@@ -329,39 +399,4 @@ def fused_ln_mdta(
     logits = jnp.where(same_head[None], logits, -jnp.inf)
     attn = jax.nn.softmax(logits, axis=-1)  # (B, C, C) block-diagonal
     attn_p = jnp.zeros((b, cp, cp), jnp.float32).at[:, :c, :c].set(attn)
-    attn_p = attn_p.astype(dtype)
-
-    kern_b = functools.partial(_kernel_b, cp=cp)
-    out = pl.pallas_call(
-        kern_b,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(
-                (1, th, w, cp), lambda bi, i: (bi, i, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, th, w, cp), lambda bi, i: (bi, i, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, cp, cp), lambda bi, i: (bi, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (cp, cp), lambda *_: (0, 0), memory_space=pltpu.VMEM
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, th, w, cp), lambda bi, i: (bi, i, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((b, h, w, cp), dtype),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel"),
-            vmem_limit_bytes=100 * 2**20,
-        ),
-        interpret=interpret,
-    )(v_arr, jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, cp - c))),
-      attn_p, jnp.pad(w_proj, ((0, cp - c), (0, cp - c))).astype(dtype))
-    return out[:, :, :, :c] if cp != c else out
+    return v_arr, attn_p.astype(dtype)

@@ -192,14 +192,15 @@ def test_fused_block_trains():
     def loss(p):
         return jnp.mean(jnp.square(blk.apply(p, x)))
 
-    orig_g, orig_m = ad.ln_gdfn, ad.ln_mdta
+    orig_g, orig_m, orig_b = ad.ln_gdfn, ad.ln_mdta, ad.ln_block
     ad.ln_gdfn = functools.partial(orig_g, interpret=True)
     ad.ln_mdta = functools.partial(orig_m, interpret=True)
+    ad.ln_block = functools.partial(orig_b, interpret=True)
     try:
         params = blk.init(jax.random.PRNGKey(0), x)
         g = jax.grad(loss)(params)
     finally:
-        ad.ln_gdfn, ad.ln_mdta = orig_g, orig_m
+        ad.ln_gdfn, ad.ln_mdta, ad.ln_block = orig_g, orig_m, orig_b
 
     # reference: unfused block with the same params
     ref_blk = TransformerBlock(dim=48, num_heads=1, fused_ffn=False)
@@ -209,3 +210,86 @@ def test_fused_block_trains():
     for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(g_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3,
                                    atol=2e-4)
+
+
+# ---- whole-block fusion (ops/pallas/block.py) ----
+
+
+def _block_weights(c, heads, seed):
+    rng = np.random.default_rng(seed)
+    f = int(c * 2.66)
+    return dict(
+        ln1w=jnp.asarray(rng.normal(size=(c,)).astype(np.float32) * 0.1 + 1),
+        ln1b=jnp.asarray(rng.normal(size=(c,)).astype(np.float32) * 0.1),
+        wqkv=jnp.asarray(rng.normal(size=(c, 3 * c)).astype(np.float32) * 0.05),
+        wdwa=jnp.asarray(rng.normal(size=(3, 3, 3 * c)).astype(np.float32) * 0.2),
+        wproj=jnp.asarray(rng.normal(size=(c, c)).astype(np.float32) * 0.05),
+        temp=jnp.asarray(rng.uniform(0.5, 2.0, (heads,)).astype(np.float32)),
+        ln2w=jnp.asarray(rng.normal(size=(c,)).astype(np.float32) * 0.1 + 1),
+        ln2b=jnp.asarray(rng.normal(size=(c,)).astype(np.float32) * 0.1),
+        w1=jnp.asarray(rng.normal(size=(c, 2 * f)).astype(np.float32) * 0.05),
+        wdwf=jnp.asarray(rng.normal(size=(3, 3, 2 * f)).astype(np.float32) * 0.2),
+        w2=jnp.asarray(rng.normal(size=(f, c)).astype(np.float32) * 0.05),
+    )
+
+
+def _block_ref(x, wts, heads):
+    from promptir_tpu.ops.pallas.autodiff import xla_ln_gdfn, xla_ln_mdta
+
+    x2 = xla_ln_mdta(
+        x, wts["ln1w"], wts["ln1b"], wts["wqkv"], wts["wdwa"],
+        wts["wproj"], wts["temp"], heads,
+    )
+    return xla_ln_gdfn(
+        x2, wts["ln2w"], wts["ln2b"], wts["w1"], wts["wdwf"], wts["w2"]
+    )
+
+
+def test_fused_transformer_block_matches_reference():
+    from promptir_tpu.ops.pallas.block import fused_transformer_block
+
+    c, heads = 48, 4
+    wts = _block_weights(c, heads, seed=11)
+    x = jnp.asarray(
+        np.random.default_rng(12).normal(size=(2, 32, 24, c))
+        .astype(np.float32)
+    )
+    ref = _block_ref(x, wts, heads)
+    out = fused_transformer_block(
+        x, wts["ln1w"], wts["ln1b"], wts["wqkv"], wts["wdwa"], wts["wproj"],
+        wts["temp"], heads, wts["ln2w"], wts["ln2b"], wts["w1"],
+        wts["wdwf"], wts["w2"], interpret=True,
+    )
+    assert out is not None
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=5e-4,
+                               atol=5e-4)
+
+
+def test_ln_block_grads_match_xla():
+    from promptir_tpu.ops.pallas.autodiff import ln_block
+
+    c, heads = 48, 2
+    wts = _block_weights(c, heads, seed=13)
+    x = jnp.asarray(
+        np.random.default_rng(14).normal(size=(1, 16, 16, c))
+        .astype(np.float32)
+    )
+
+    def loss_fused(args):
+        x_, w = args
+        return jnp.sum(jnp.square(ln_block(
+            x_, w["ln1w"], w["ln1b"], w["wqkv"], w["wdwa"], w["wproj"],
+            w["temp"], heads, w["ln2w"], w["ln2b"], w["w1"], w["wdwf"],
+            w["w2"], interpret=True,
+        )))
+
+    def loss_ref(args):
+        x_, w = args
+        return jnp.sum(jnp.square(_block_ref(x_, w, heads)))
+
+    args = (x, wts)
+    gf = jax.grad(loss_fused)(args)
+    gr = jax.grad(loss_ref)(args)
+    for a, b in zip(jax.tree.leaves(gf), jax.tree.leaves(gr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3,
+                                   atol=2e-3)

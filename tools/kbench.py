@@ -64,9 +64,32 @@ def build_mdta(shape, dtype, heads=1):
     return op, flops
 
 
+def build_block(shape, dtype, heads=1):
+    from promptir_tpu.ops.pallas.block import fused_transformer_block
+
+    b, h, w, c = shape
+    f = int(c * 2.66)
+    rng = np.random.default_rng(0)
+    n = lambda *s, sc=0.02: jnp.asarray(  # noqa: E731
+        rng.normal(size=s).astype(np.float32) * sc
+    )
+    wts = (
+        n(c) + 1, n(c), n(c, 3 * c), n(3, 3, 3 * c, sc=0.1), n(c, c),
+        jnp.ones((heads,), jnp.float32),
+    )
+    gwts = (n(c) + 1, n(c), n(c, 2 * f), n(3, 3, 2 * f, sc=0.1), n(f, c))
+
+    def op(x):
+        return fused_transformer_block(x, *wts, heads, *gwts)
+
+    npix = b * h * w
+    flops = 2 * npix * (c * 3 * c + 2 * c * c + c * 2 * f + f * c)
+    return op, flops
+
+
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--op", choices=["gdfn", "mdta"], default="gdfn")
+    p.add_argument("--op", choices=["gdfn", "mdta", "block"], default="gdfn")
     p.add_argument("--shape", type=int, nargs=4, default=[4, 512, 512, 48])
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--heads", type=int, default=1)
@@ -84,6 +107,8 @@ def main():
     shape = tuple(args.shape)
     if args.op == "gdfn":
         op, flops = build_gdfn(shape, dtype)
+    elif args.op == "block":
+        op, flops = build_block(shape, dtype, args.heads)
     else:
         op, flops = build_mdta(shape, dtype, args.heads)
 
