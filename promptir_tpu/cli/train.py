@@ -45,6 +45,10 @@ def build_parser() -> argparse.ArgumentParser:
              "(custom-VJP backward; promptir only)",
     )
     p.add_argument(
+        "--profile_dir", default=None,
+        help="write a jax.profiler trace of training steps 2-7 here",
+    )
+    p.add_argument(
         "--synthetic", action="store_true",
         help="train on synthetic data (no image corpus needed)",
     )
@@ -79,6 +83,7 @@ def main(argv=None):
     cfg.system.compute_dtype = args.dtype
     cfg.system.n_data = args.n_data
     cfg.system.remat = args.remat
+    cfg.system.profile_dir = args.profile_dir
 
     if args.synthetic:
         from promptir_tpu.data.synthetic import SyntheticTrainDataset

@@ -68,6 +68,7 @@ class SystemConfig:
     tile: int = 128
     tile_overlap: int = 32
     tile_chunk: int = 8
+    profile_dir: Optional[str] = None  # jax.profiler trace of steps 2-7
 
 
 @dataclass

@@ -32,14 +32,14 @@ def warmup_cosine(
 
     def lr(epoch: int) -> float:
         if epoch < warmup_epochs:
+            if warmup_epochs <= 1:  # degenerate warmup: straight to base
+                return base_lr
             return warmup_start_lr + epoch * (base_lr - warmup_start_lr) / (
                 warmup_epochs - 1
             )
+        denom = max(max_epochs - warmup_epochs, 1)
         return eta_min + 0.5 * (base_lr - eta_min) * (
-            1
-            + math.cos(
-                math.pi * (epoch - warmup_epochs) / (max_epochs - warmup_epochs)
-            )
+            1 + math.cos(math.pi * (epoch - warmup_epochs) / denom)
         )
 
     return lr

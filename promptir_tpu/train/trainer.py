@@ -104,14 +104,29 @@ class Trainer:
 
     def fit(self) -> None:
         cfg = self.cfg
+        # profiler window: steps [2, 7) of the first epoch land in an XLA
+        # trace viewable in TensorBoard/Perfetto (the reference has no
+        # profiling story at all, SURVEY.md §5)
+        prof_dir = cfg.system.profile_dir
+        prof_started = prof_stopped = not prof_dir
         for epoch in range(self.start_epoch, cfg.train.epochs):
             lr = self.schedule(epoch)
             self.state = set_learning_rate(self.state, lr)
             t0 = time.time()
             losses = []
             for batch in self.loader.epoch(epoch):
+                if not prof_started and self.global_step >= 2:
+                    jax.profiler.start_trace(prof_dir)
+                    prof_started = True
                 self.state, metrics = self.step_fn(self.state, batch)
                 self.global_step += 1
+                if prof_started and not prof_stopped and self.global_step >= 7:
+                    jax.tree.map(
+                        lambda x: x.block_until_ready(), self.state.params
+                    )
+                    jax.profiler.stop_trace()
+                    prof_stopped = True
+                    print(f"profiler trace written to {prof_dir}")
                 losses.append(metrics["train_loss"])
                 if self.global_step % 50 == 0:
                     self.logger.log(
@@ -124,6 +139,11 @@ class Trainer:
                     )
             dt = time.time() - t0
             epoch_loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
+            if prof_started and not prof_stopped:
+                # run too short to reach the window's end: close it now
+                jax.profiler.stop_trace()
+                prof_stopped = True
+                print(f"profiler trace written to {prof_dir}")
             imgs = len(self.loader) * self.global_batch
             print(
                 f"epoch {epoch}: loss {epoch_loss:.4f} lr {lr:.2e} "

@@ -82,3 +82,19 @@ def test_training_reduces_loss():
                 trainer.state, m = trainer.step_fn(trainer.state, batch)
                 losses.append(float(m["train_loss"]))
         assert losses[-1] < losses[0]
+
+
+def test_trainer_profile_trace(tiny_cfg, tmp_path):
+    """--profile_dir writes a jax.profiler trace around steps 2-7."""
+    prof = str(tmp_path / "prof")
+    tiny_cfg.system.profile_dir = prof
+    tiny_cfg.train.epochs = 3  # 6 steps: window opens at global step 2
+    ds = SyntheticTrainDataset(n=16, patch_size=32)
+    Trainer(tiny_cfg, ds, model=tiny_model()).fit()
+    found = [
+        os.path.join(r, f)
+        for r, _, fs in os.walk(prof)
+        for f in fs
+        if f.endswith((".trace.json.gz", ".xplane.pb"))
+    ]
+    assert found, f"no trace files under {prof}"
