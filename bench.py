@@ -31,7 +31,7 @@ import numpy as np
 
 A100_REF_MPS = 7.3
 SIZE = 512
-BATCH = 4
+BATCH = 8
 WARMUP = 2
 ITERS = 8
 

@@ -25,6 +25,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     p.add_argument("--num_blocks", type=int, nargs=4, default=None)
     p.add_argument("--num_refinement_blocks", type=int, default=None)
+    p.add_argument(
+        "--fused", action="store_true",
+        help="fused Pallas transformer-block kernels (TPU)",
+    )
     return p
 
 
@@ -36,6 +40,8 @@ def model_kwargs(args):
         kw["num_blocks"] = tuple(args.num_blocks)
     if getattr(args, "num_refinement_blocks", None) is not None:
         kw["num_refinement_blocks"] = args.num_refinement_blocks
+    if getattr(args, "fused", False):
+        kw["fused_ffn"] = True
     return kw
 
 

@@ -26,6 +26,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num_blocks", type=int, nargs=4, default=None)
     p.add_argument("--num_refinement_blocks", type=int, default=None)
     p.add_argument(
+        "--fused", action="store_true",
+        help="fused Pallas transformer-block kernels (TPU)",
+    )
+    p.add_argument(
         "--nopad", action="store_true",
         help="forward at native size and dump per-image PSNR JSON "
              "(reference test_promptir.py flavor)",

@@ -56,6 +56,88 @@ class _GDFNParams(nn.Module):
         return w1, wdw, w2
 
 
+class _AttnParams(nn.Module):
+    """MDTA weights with the same param paths as the MDTA module."""
+
+    dim: int
+    heads: int
+
+    @nn.compact
+    def __call__(self):
+        wqkv = _ConvKernel((1, 1, self.dim, 3 * self.dim), name="qkv")()
+        wdw = _ConvKernel((3, 3, 1, 3 * self.dim), name="qkv_dwconv")()
+        wproj = _ConvKernel((1, 1, self.dim, self.dim), name="project_out")()
+        temp = self.param("temperature", nn.initializers.ones, (self.heads,))
+        return wqkv, wdw, wproj, temp
+
+
+def fused_block_apply(x, lnw1, lnb1, wqkv, wdwa, wproj, temp, num_heads,
+                      lnw2, lnb2, w1, wdwf, w2, *, bias_free, dtype):
+    """x + MDTA(LN1(x)); + GDFN(LN2(.)) through the Pallas kernels.
+
+    Tries whole-block fusion (stats + tail, ops/pallas/block.py), then the
+    per-branch fused kernels, then plain XLA — identical math and params
+    either way; everything differentiable (custom-VJP wrappers)."""
+    from promptir_tpu.ops.pallas.autodiff import (
+        ln_block,
+        ln_gdfn,
+        ln_mdta,
+        xla_ln_gdfn,
+        xla_ln_mdta,
+    )
+
+    dim = x.shape[-1]
+    hidden = w2.shape[0] if w2.ndim == 2 else w2.shape[2]
+    margs = (
+        x.astype(dtype),
+        lnw1,
+        lnb1,
+        wqkv.reshape(dim, 3 * dim),
+        wdwa.reshape(3, 3, 3 * dim),
+        wproj.reshape(dim, dim),
+        temp,
+        num_heads,
+    )
+    gargs = (
+        lnw2,
+        lnb2,
+        w1.reshape(dim, 2 * hidden),
+        wdwf.reshape(3, 3, 2 * hidden),
+        w2.reshape(hidden, dim),
+    )
+    out = ln_block(*margs[:7], num_heads, *gargs, bias_free=bias_free)
+    if out is not None:
+        return out.astype(x.dtype)
+    out = ln_mdta(*margs, bias_free=bias_free)
+    if out is None:
+        out = xla_ln_mdta(*margs, bias_free=bias_free)
+    x2 = out
+    out = ln_gdfn(x2, *gargs, bias_free=bias_free)
+    if out is None:
+        out = xla_ln_gdfn(x2, *gargs, bias_free=bias_free)
+    return out.astype(x.dtype)
+
+
+def fused_gdfn_apply(x, lnw, lnb, w1, wdw, w2, *, bias_free, dtype):
+    """x + GDFN(LN(x)) through the fused kernel, with XLA fallback."""
+    from promptir_tpu.ops.pallas.autodiff import ln_gdfn, xla_ln_gdfn
+
+    dim = x.shape[-1]
+    hidden = w2.shape[0] if w2.ndim == 2 else w2.shape[2]
+    gargs = (
+        x.astype(dtype),
+        lnw,
+        lnb,
+        w1.reshape(dim, 2 * hidden),
+        wdw.reshape(3, 3, 2 * hidden),
+        w2.reshape(hidden, dim),
+    )
+    out = ln_gdfn(*gargs, bias_free=bias_free)
+    if out is None:
+        out = xla_ln_gdfn(*gargs, bias_free=bias_free)
+    return out.astype(x.dtype)
+
+
 class TransformerBlock(nn.Module):
     """x += MDTA(LN(x)); x += GDFN(LN(x)).
 
@@ -78,34 +160,9 @@ class TransformerBlock(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         hidden = int(self.dim * self.expansion)
         if self.fused_ffn and not self.use_bias:
-            from promptir_tpu.ops.pallas.autodiff import (
-                ln_block,
-                ln_gdfn,
-                ln_mdta,
-                xla_ln_gdfn,
-                xla_ln_mdta,
-            )
-
             lnw1, lnb1 = _LNParams(
                 self.dim, self.bias_free_norm, name="norm1"
             )()
-
-            class _AttnParams(nn.Module):
-                dim: int
-                heads: int
-
-                @nn.compact
-                def __call__(s):
-                    wqkv = _ConvKernel((1, 1, s.dim, 3 * s.dim), name="qkv")()
-                    wdw = _ConvKernel((3, 3, 1, 3 * s.dim),
-                                      name="qkv_dwconv")()
-                    wproj = _ConvKernel((1, 1, s.dim, s.dim),
-                                        name="project_out")()
-                    temp = s.param(
-                        "temperature", nn.initializers.ones, (s.heads,)
-                    )
-                    return wqkv, wdw, wproj, temp
-
             wqkv, wdw, wproj, temp = _AttnParams(
                 self.dim, self.num_heads, name="attn"
             )()
@@ -113,40 +170,11 @@ class TransformerBlock(nn.Module):
                 self.dim, self.bias_free_norm, name="norm2"
             )()
             w1, wdwf, w2 = _GDFNParams(self.dim, hidden, name="ffn")()
-            margs = (
-                x.astype(self.dtype),
-                lnw1,
-                lnb1,
-                wqkv.reshape(self.dim, 3 * self.dim),
-                wdw.reshape(3, 3, 3 * self.dim),
-                wproj.reshape(self.dim, self.dim),
-                temp,
-                self.num_heads,
+            return fused_block_apply(
+                x, lnw1, lnb1, wqkv, wdw, wproj, temp, self.num_heads,
+                lnw2, lnb2, w1, wdwf, w2,
+                bias_free=self.bias_free_norm, dtype=self.dtype,
             )
-            gargs = (
-                lnw2,
-                lnb2,
-                w1.reshape(self.dim, 2 * hidden),
-                wdwf.reshape(3, 3, 2 * hidden),
-                w2.reshape(hidden, self.dim),
-            )
-            # whole-block fusion: stats pass + (attn-apply + LN + GDFN)
-            # tail; x2 never round-trips HBM between the branches
-            out = ln_block(
-                *margs[:7], self.num_heads, *gargs,
-                bias_free=self.bias_free_norm,
-            )
-            if out is not None:
-                return out.astype(x.dtype)
-            # per-branch fused kernels, then plain XLA, same params/paths
-            out = ln_mdta(*margs, bias_free=self.bias_free_norm)
-            if out is None:
-                out = xla_ln_mdta(*margs, bias_free=self.bias_free_norm)
-            x2 = out
-            out = ln_gdfn(x2, *gargs, bias_free=self.bias_free_norm)
-            if out is None:
-                out = xla_ln_gdfn(x2, *gargs, bias_free=self.bias_free_norm)
-            return out.astype(x.dtype)
         y = RestormerLayerNorm(
             self.dim, self.bias_free_norm, name="norm1"
         )(x)

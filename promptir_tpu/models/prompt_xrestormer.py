@@ -38,6 +38,7 @@ class PromptXBlock(nn.Module):
     use_bias: bool = False
     bias_free_norm: bool = False
     dtype: jnp.dtype = jnp.float32
+    fused_ffn: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -75,6 +76,7 @@ class PromptXBlock(nn.Module):
             use_bias=self.use_bias,
             bias_free_norm=self.bias_free_norm,
             dtype=self.dtype,
+            fused_ffn=self.fused_ffn,
             name="attn",
         )(y)
         return Conv(
@@ -103,6 +105,7 @@ class PromptXRestormer(XRestormer):
             use_bias=self.use_bias,
             bias_free_norm=self.bias_free_norm,
             dtype=self.dtype,
+            fused_ffn=self.fused_ffn,
             name=name,
         )
 

@@ -37,9 +37,35 @@ class ChannelTransformerBlock(nn.Module):
     use_bias: bool = False
     bias_free_norm: bool = False
     dtype: jnp.dtype = jnp.float32
+    fused_ffn: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.fused_ffn and not self.use_bias:
+            from promptir_tpu.models.blocks import (
+                _AttnParams,
+                _GDFNParams,
+                _LNParams,
+                fused_block_apply,
+            )
+
+            lnw1, lnb1 = _LNParams(
+                self.dim, self.bias_free_norm, name="norm1"
+            )()
+            wqkv, wdw, wproj, temp = _AttnParams(
+                self.dim, self.num_channel_heads, name="channel_attn"
+            )()
+            lnw2, lnb2 = _LNParams(
+                self.dim, self.bias_free_norm, name="norm2"
+            )()
+            w1, wdwf, w2 = _GDFNParams(
+                self.dim, int(self.dim * self.expansion), name="channel_ffn"
+            )()
+            return fused_block_apply(
+                x, lnw1, lnb1, wqkv, wdw, wproj, temp,
+                self.num_channel_heads, lnw2, lnb2, w1, wdwf, w2,
+                bias_free=self.bias_free_norm, dtype=self.dtype,
+            )
         y = RestormerLayerNorm(self.dim, self.bias_free_norm, name="norm1")(x)
         x = x + MDTA(
             self.dim, self.num_channel_heads, self.use_bias, self.dtype,
@@ -70,7 +96,7 @@ class PromptXRestormerEff(XRestormer):
         )
         ctb = lambda dim, name: ChannelTransformerBlock(  # noqa: E731
             dim, 1, self.expansion, self.use_bias, self.bias_free_norm,
-            self.dtype, name=name,
+            self.dtype, fused_ffn=self.fused_ffn, name=name,
         )
 
         x = OverlapPatchEmbed(d, self.use_bias, self.dtype, name="patch_embed")(

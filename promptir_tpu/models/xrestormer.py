@@ -28,7 +28,12 @@ from promptir_tpu.ops.resize import resize_bilinear
 
 
 class XTransformerBlock(nn.Module):
-    """channel-attn -> channel-ffn -> spatial-attn(OCAB) -> spatial-ffn."""
+    """channel-attn -> channel-ffn -> spatial-attn(OCAB) -> spatial-ffn.
+
+    `fused_ffn=True` runs the channel half through the whole-block Pallas
+    fusion and the spatial FFN through the fused LN+GDFN kernel (OCAB
+    itself stays on the XLA path); identical param tree either way.
+    """
 
     dim: int
     window_size: int = 8
@@ -40,20 +45,48 @@ class XTransformerBlock(nn.Module):
     use_bias: bool = False
     bias_free_norm: bool = False
     dtype: jnp.dtype = jnp.float32
+    fused_ffn: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         ln = lambda name: RestormerLayerNorm(  # noqa: E731
             self.dim, self.bias_free_norm, name=name
         )
-        x = x + MDTA(
-            self.dim, self.num_channel_heads, self.use_bias, self.dtype,
-            name="channel_attn",
-        )(ln("norm1")(x))
-        x = x + GDFN(
-            self.dim, self.expansion, self.use_bias, self.dtype,
-            name="channel_ffn",
-        )(ln("norm2")(x))
+        fused = self.fused_ffn and not self.use_bias
+        hidden = int(self.dim * self.expansion)
+        if fused:
+            from promptir_tpu.models.blocks import (
+                _AttnParams,
+                _GDFNParams,
+                _LNParams,
+                fused_block_apply,
+                fused_gdfn_apply,
+            )
+
+            lnw1, lnb1 = _LNParams(
+                self.dim, self.bias_free_norm, name="norm1"
+            )()
+            wqkv, wdw, wproj, temp = _AttnParams(
+                self.dim, self.num_channel_heads, name="channel_attn"
+            )()
+            lnw2, lnb2 = _LNParams(
+                self.dim, self.bias_free_norm, name="norm2"
+            )()
+            w1, wdwf, w2 = _GDFNParams(self.dim, hidden, name="channel_ffn")()
+            x = fused_block_apply(
+                x, lnw1, lnb1, wqkv, wdw, wproj, temp,
+                self.num_channel_heads, lnw2, lnb2, w1, wdwf, w2,
+                bias_free=self.bias_free_norm, dtype=self.dtype,
+            )
+        else:
+            x = x + MDTA(
+                self.dim, self.num_channel_heads, self.use_bias, self.dtype,
+                name="channel_attn",
+            )(ln("norm1")(x))
+            x = x + GDFN(
+                self.dim, self.expansion, self.use_bias, self.dtype,
+                name="channel_ffn",
+            )(ln("norm2")(x))
         x = x + OCAB(
             self.dim,
             self.window_size,
@@ -64,6 +97,15 @@ class XTransformerBlock(nn.Module):
             self.dtype,
             name="spatial_attn",
         )(ln("norm3")(x))
+        if fused:
+            lnw4, lnb4 = _LNParams(
+                self.dim, self.bias_free_norm, name="norm4"
+            )()
+            w1s, wdws, w2s = _GDFNParams(self.dim, hidden, name="spatial_ffn")()
+            return fused_gdfn_apply(
+                x, lnw4, lnb4, w1s, wdws, w2s,
+                bias_free=self.bias_free_norm, dtype=self.dtype,
+            )
         x = x + GDFN(
             self.dim, self.expansion, self.use_bias, self.dtype,
             name="spatial_ffn",
@@ -87,6 +129,7 @@ class XRestormer(nn.Module):
     bias_free_norm: bool = False
     scale: int = 1
     dtype: jnp.dtype = jnp.float32
+    fused_ffn: bool = False
 
     def _stack(self, name: str, n: int, dim: int, level: int):
         common = dict(
@@ -100,6 +143,7 @@ class XRestormer(nn.Module):
             use_bias=self.use_bias,
             bias_free_norm=self.bias_free_norm,
             dtype=self.dtype,
+            fused_ffn=self.fused_ffn,
         )
         return [
             XTransformerBlock(**common, name=f"{name}_{i}") for i in range(n)

@@ -18,8 +18,9 @@ LN uses the real-channel divisor and zero-padded weights keep the padding
 inert). Padding costs one extra x-sized copy — small against the fusion's
 multi-GB saving.
 
-Forward-only: training uses the XLA path (autodiff through the unfused
-ops); inference/benchmark enables this via the models' `fused_ffn` flag.
+The raw kernel is forward-only; `ops/pallas/autodiff.py` wraps it in a
+`custom_vjp` (backward = remat through the unfused XLA composition) so the
+models' `fused_ffn` flag works under both inference and `jax.grad`.
 """
 
 from __future__ import annotations
@@ -134,7 +135,8 @@ def _kernel(xb_ref, x_hbm, lnw_ref, lnb_ref, w1_ref, wdw_ref, w2_ref,
         preferred_element_type=jnp.float32,
     ).reshape(th + 2, wp, two_fp)
 
-    # depthwise 3x3 as 9 shifted multiply-adds (VPU), all fp32
+    # depthwise 3x3 as 9 shifted multiply-adds (VPU), all fp32 (bf16 taps
+    # re-measured slower: no VPU rate advantage + conversion cost)
     acc = jnp.zeros((th, w, two_fp), jnp.float32)
     for di in range(3):
         for dj in range(3):

@@ -99,3 +99,64 @@ def test_prompt_xrestormer_eff_small(golden):
     )
     check_params_match(variables, init)
     run(model, g, rtol=1e-4, atol=1e-4)
+
+
+def test_xblock_fused_matches_unfused():
+    """fused_ffn XTransformerBlock: same params, same output (interpret)."""
+    import functools
+
+    import promptir_tpu.ops.pallas.autodiff as ad
+    from promptir_tpu.models.xrestormer import XTransformerBlock
+
+    x = jnp.asarray(
+        np.random.default_rng(21).normal(size=(1, 16, 16, 48))
+        .astype(np.float32)
+    )
+    ref_blk = XTransformerBlock(dim=48, num_channel_heads=2)
+    params = ref_blk.init(jax.random.PRNGKey(0), x)
+    ref = ref_blk.apply(params, x)
+
+    fused_blk = XTransformerBlock(dim=48, num_channel_heads=2, fused_ffn=True)
+    p2 = jax.eval_shape(lambda: fused_blk.init(jax.random.PRNGKey(0), x))
+    assert jax.tree_util.tree_structure(p2) == jax.tree_util.tree_structure(
+        jax.eval_shape(lambda: params)
+    )
+
+    orig = ad.ln_block, ad.ln_mdta, ad.ln_gdfn
+    ad.ln_block = functools.partial(orig[0], interpret=True)
+    ad.ln_mdta = functools.partial(orig[1], interpret=True)
+    ad.ln_gdfn = functools.partial(orig[2], interpret=True)
+    try:
+        out = fused_blk.apply(params, x)
+    finally:
+        ad.ln_block, ad.ln_mdta, ad.ln_gdfn = orig
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=5e-4,
+                               atol=5e-4)
+
+
+def test_channel_block_fused_matches_unfused():
+    import functools
+
+    import promptir_tpu.ops.pallas.autodiff as ad
+    from promptir_tpu.models.prompt_xrestormer_eff import (
+        ChannelTransformerBlock,
+    )
+
+    x = jnp.asarray(
+        np.random.default_rng(22).normal(size=(1, 16, 16, 48))
+        .astype(np.float32)
+    )
+    ref_blk = ChannelTransformerBlock(dim=48)
+    params = ref_blk.init(jax.random.PRNGKey(0), x)
+    ref = ref_blk.apply(params, x)
+    fused_blk = ChannelTransformerBlock(dim=48, fused_ffn=True)
+    orig = ad.ln_block, ad.ln_mdta, ad.ln_gdfn
+    ad.ln_block = functools.partial(orig[0], interpret=True)
+    ad.ln_mdta = functools.partial(orig[1], interpret=True)
+    ad.ln_gdfn = functools.partial(orig[2], interpret=True)
+    try:
+        out = fused_blk.apply(params, x)
+    finally:
+        ad.ln_block, ad.ln_mdta, ad.ln_gdfn = orig
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=5e-4,
+                               atol=5e-4)
