@@ -36,10 +36,12 @@ struct PngHeader {
 
 constexpr uint8_t kSig[8] = {0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n'};
 
-// Parses chunks; fills header, concatenates IDAT, captures PLTE.
-// Returns 0 on success, negative error otherwise.
+// Parses chunks; fills header, concatenates IDAT, captures PLTE. With
+// info_only, stops right after IHDR (the dims peek must not pay for
+// copying the compressed stream). Returns 0 on success, negative error.
 int parse(const uint8_t *buf, int64_t len, PngHeader *hdr,
-          std::vector<uint8_t> *idat, std::vector<uint8_t> *plte) {
+          std::vector<uint8_t> *idat, std::vector<uint8_t> *plte,
+          bool info_only = false) {
   if (len < 8 + 25 || std::memcmp(buf, kSig, 8) != 0) return -1;
   int64_t off = 8;
   bool saw_ihdr = false;
@@ -56,6 +58,7 @@ int parse(const uint8_t *buf, int64_t len, PngHeader *hdr,
       hdr->color_type = data[9];
       hdr->interlace = data[12];
       saw_ihdr = true;
+      if (info_only) break;
     } else if (!std::memcmp(type, "PLTE", 4)) {
       plte->assign(data, data + clen);
     } else if (!std::memcmp(type, "IDAT", 4)) {
@@ -65,7 +68,14 @@ int parse(const uint8_t *buf, int64_t len, PngHeader *hdr,
     }
     off += 12 + clen;
   }
-  if (!saw_ihdr || idat->empty()) return -4;
+  if (!saw_ihdr || (!info_only && idat->empty())) return -4;
+  // sanity bounds: reject absurd dimensions (corrupt/hostile headers)
+  // before any size arithmetic — callers fall back to PIL on any error
+  if (hdr->width == 0 || hdr->height == 0 || hdr->width > (1u << 20) ||
+      hdr->height > (1u << 20) ||
+      int64_t(hdr->width) * int64_t(hdr->height) > (int64_t(1) << 31)) {
+    return -14;
+  }
   switch (hdr->color_type) {
     case 0: hdr->channels = 1; break;  // gray
     case 2: hdr->channels = 3; break;  // rgb
@@ -133,10 +143,9 @@ int promptir_png_info(const uint8_t *buf, int64_t len, int32_t *h,
                       int32_t *w) {
   PngHeader hdr;
   std::vector<uint8_t> idat, plte;
-  int rc = parse(buf, len, &hdr, &idat, &plte);
+  int rc = parse(buf, len, &hdr, &idat, &plte, /*info_only=*/true);
   if (rc) return rc;
   if (hdr.bit_depth != 8 || hdr.interlace != 0) return -8;
-  if (hdr.color_type == 3 && plte.empty()) return -9;
   *h = int32_t(hdr.height);
   *w = int32_t(hdr.width);
   return 0;

@@ -39,6 +39,8 @@ def main(argv=None):
     if not names:
         raise SystemExit(f"no images in {args.clean_dir}")
 
+    used = []
+
     def grays():
         for n in names:
             rgb = load_image_rgb(os.path.join(args.clean_dir, n)).astype(
@@ -47,12 +49,22 @@ def main(argv=None):
             g = (0.299 * rgb[..., 0] + 0.587 * rgb[..., 1]
                  + 0.114 * rgb[..., 2])
             if min(g.shape) >= args.block:
+                used.append(n)
                 yield g
 
-    model = fit_niqe_model(grays(), block=args.block)
+    try:
+        model = fit_niqe_model(grays(), block=args.block)
+    except ValueError as e:
+        raise SystemExit(
+            f"no usable images: every image must be at least "
+            f"{args.block}x{args.block} (--block); "
+            f"{len(names)} candidates in {args.clean_dir} ({e})"
+        )
     out = args.out or _default_model_path()
     save_niqe_model(out, model)
-    print(f"fitted NIQE model on {len(names)} images -> {out}")
+    skipped = len(names) - len(used)
+    note = f" ({skipped} skipped as smaller than {args.block}px)" if skipped else ""
+    print(f"fitted NIQE model on {len(used)} images{note} -> {out}")
 
 
 if __name__ == "__main__":

@@ -9,6 +9,7 @@ Orbax/npz checkpoint; reports PSNR/SSIM per set and saves restored PNGs.
 from __future__ import annotations
 
 import argparse
+import os
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -91,7 +92,10 @@ def main(argv=None):
                     f"{args.json_dir or args.output_path}/"
                     f"psnr_denoise_{sigma}.json"
                 )
-                r = run_eval_nopad(model_fn, params, ds, jp, args.output_path)
+                r = run_eval_nopad(
+                    model_fn, params, ds, jp,
+                    os.path.join(args.output_path, f"denoise_{sigma}"),
+                )
                 print(f"Denoise sigma={sigma}: psnr: {r['psnr']:.2f}, "
                       f"ssim: {r['ssim']:.4f}")
             else:

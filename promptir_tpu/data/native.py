@@ -27,27 +27,34 @@ def _lib_path() -> str:
     return os.path.join(here, "native", "libpromptir_native.so")
 
 
+def _make(src_dir: str) -> bool:
+    if not os.path.exists(os.path.join(src_dir, "Makefile")):
+        return False
+    import subprocess
+
+    try:
+        subprocess.run(
+            ["make", "-C", src_dir, "-s"],
+            check=True,
+            timeout=120,
+            capture_output=True,
+        )
+        return True
+    except Exception:
+        return False
+
+
 def load() -> Optional[ctypes.CDLL]:
     global _LIB, _TRIED
     if _TRIED:
         return _LIB
     _TRIED = True
     path = _lib_path()
-    if not os.path.exists(path):
-        # build on demand (g++ is a baseline tool on the target hosts)
-        src_dir = os.path.dirname(path)
-        if os.path.exists(os.path.join(src_dir, "Makefile")):
-            import subprocess
-
-            try:
-                subprocess.run(
-                    ["make", "-C", src_dir, "-s"],
-                    check=True,
-                    timeout=120,
-                    capture_output=True,
-                )
-            except Exception:
-                return None
+    # always (re)run make before the first dlopen: a fresh checkout builds
+    # on demand, a stale gitignored .so picks up new sources/symbols, and
+    # an up-to-date one makes this a no-op. Doing it pre-dlopen matters —
+    # dlopen caches by path, so a post-load rebuild would be invisible.
+    _make(os.path.dirname(path))
     if not os.path.exists(path):
         return None
     lib = ctypes.CDLL(path)

@@ -25,7 +25,16 @@ def create_model(name: str, **kwargs):
         raise KeyError(
             f"unknown model {name!r}; available: {sorted(_REGISTRY)}"
         )
-    return _REGISTRY[name](**kwargs)
+    try:
+        return _REGISTRY[name](**kwargs)
+    except TypeError as e:
+        if "fused_ffn" in str(e) and kwargs.get("fused_ffn"):
+            raise ValueError(
+                f"model {name!r} has no fused Pallas path (fused_ffn/"
+                "--fused is supported by the PromptIR and X-Restormer "
+                "families)"
+            ) from e
+        raise
 
 
 def available_models():

@@ -71,6 +71,22 @@ class _AttnParams(nn.Module):
         return wqkv, wdw, wproj, temp
 
 
+def fused_mdta_gdfn_block(x, dim, num_heads, hidden, *, bias_free, dtype,
+                          names=("norm1", "attn", "norm2", "ffn")):
+    """Declare an MDTA+GDFN block's params (paths identical to the unfused
+    modules) and run it through the fused kernels. Shared by
+    TransformerBlock, XTransformerBlock's channel half, and
+    ChannelTransformerBlock — only the submodule names differ."""
+    lnw1, lnb1 = _LNParams(dim, bias_free, name=names[0])()
+    wqkv, wdw, wproj, temp = _AttnParams(dim, num_heads, name=names[1])()
+    lnw2, lnb2 = _LNParams(dim, bias_free, name=names[2])()
+    w1, wdwf, w2 = _GDFNParams(dim, hidden, name=names[3])()
+    return fused_block_apply(
+        x, lnw1, lnb1, wqkv, wdw, wproj, temp, num_heads,
+        lnw2, lnb2, w1, wdwf, w2, bias_free=bias_free, dtype=dtype,
+    )
+
+
 def fused_block_apply(x, lnw1, lnb1, wqkv, wdwa, wproj, temp, num_heads,
                       lnw2, lnb2, w1, wdwf, w2, *, bias_free, dtype):
     """x + MDTA(LN1(x)); + GDFN(LN2(.)) through the Pallas kernels.
@@ -160,19 +176,8 @@ class TransformerBlock(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         hidden = int(self.dim * self.expansion)
         if self.fused_ffn and not self.use_bias:
-            lnw1, lnb1 = _LNParams(
-                self.dim, self.bias_free_norm, name="norm1"
-            )()
-            wqkv, wdw, wproj, temp = _AttnParams(
-                self.dim, self.num_heads, name="attn"
-            )()
-            lnw2, lnb2 = _LNParams(
-                self.dim, self.bias_free_norm, name="norm2"
-            )()
-            w1, wdwf, w2 = _GDFNParams(self.dim, hidden, name="ffn")()
-            return fused_block_apply(
-                x, lnw1, lnb1, wqkv, wdw, wproj, temp, self.num_heads,
-                lnw2, lnb2, w1, wdwf, w2,
+            return fused_mdta_gdfn_block(
+                x, self.dim, self.num_heads, hidden,
                 bias_free=self.bias_free_norm, dtype=self.dtype,
             )
         y = RestormerLayerNorm(

@@ -42,29 +42,13 @@ class ChannelTransformerBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         if self.fused_ffn and not self.use_bias:
-            from promptir_tpu.models.blocks import (
-                _AttnParams,
-                _GDFNParams,
-                _LNParams,
-                fused_block_apply,
-            )
+            from promptir_tpu.models.blocks import fused_mdta_gdfn_block
 
-            lnw1, lnb1 = _LNParams(
-                self.dim, self.bias_free_norm, name="norm1"
-            )()
-            wqkv, wdw, wproj, temp = _AttnParams(
-                self.dim, self.num_channel_heads, name="channel_attn"
-            )()
-            lnw2, lnb2 = _LNParams(
-                self.dim, self.bias_free_norm, name="norm2"
-            )()
-            w1, wdwf, w2 = _GDFNParams(
-                self.dim, int(self.dim * self.expansion), name="channel_ffn"
-            )()
-            return fused_block_apply(
-                x, lnw1, lnb1, wqkv, wdw, wproj, temp,
-                self.num_channel_heads, lnw2, lnb2, w1, wdwf, w2,
+            return fused_mdta_gdfn_block(
+                x, self.dim, self.num_channel_heads,
+                int(self.dim * self.expansion),
                 bias_free=self.bias_free_norm, dtype=self.dtype,
+                names=("norm1", "channel_attn", "norm2", "channel_ffn"),
             )
         y = RestormerLayerNorm(self.dim, self.bias_free_norm, name="norm1")(x)
         x = x + MDTA(

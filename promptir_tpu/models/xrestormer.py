@@ -56,27 +56,16 @@ class XTransformerBlock(nn.Module):
         hidden = int(self.dim * self.expansion)
         if fused:
             from promptir_tpu.models.blocks import (
-                _AttnParams,
                 _GDFNParams,
                 _LNParams,
-                fused_block_apply,
                 fused_gdfn_apply,
+                fused_mdta_gdfn_block,
             )
 
-            lnw1, lnb1 = _LNParams(
-                self.dim, self.bias_free_norm, name="norm1"
-            )()
-            wqkv, wdw, wproj, temp = _AttnParams(
-                self.dim, self.num_channel_heads, name="channel_attn"
-            )()
-            lnw2, lnb2 = _LNParams(
-                self.dim, self.bias_free_norm, name="norm2"
-            )()
-            w1, wdwf, w2 = _GDFNParams(self.dim, hidden, name="channel_ffn")()
-            x = fused_block_apply(
-                x, lnw1, lnb1, wqkv, wdw, wproj, temp,
-                self.num_channel_heads, lnw2, lnb2, w1, wdwf, w2,
+            x = fused_mdta_gdfn_block(
+                x, self.dim, self.num_channel_heads, hidden,
                 bias_free=self.bias_free_norm, dtype=self.dtype,
+                names=("norm1", "channel_attn", "norm2", "channel_ffn"),
             )
         else:
             x = x + MDTA(

@@ -26,12 +26,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from promptir_tpu.ops.pallas.gdfn import _erf, _lanes, _pad_last
+from promptir_tpu.ops.pallas import gdfn as _gdfn_mod
+from promptir_tpu.ops.pallas.gdfn import _lanes, _pad_last
 from promptir_tpu.ops.pallas import mdta as _mdta
 
 
-def _pick_th_tail(h, w, cp, two_f, vmem_budget=44 * 2**20):
+def _pick_th_tail(h, w, cp, two_f, vmem_budget=None):
     """Largest stripe height for the tail kernel's working set."""
+    vmem_budget = _gdfn_mod.VMEM_BUDGET if vmem_budget is None else vmem_budget
     two_fp = _lanes(two_f)
     wp = w + 2 + ((-(w + 2)) % 8)
     for th in (32, 16, 8, 4, 2):
@@ -53,36 +55,14 @@ def _tail_kernel(vb_ref, xb_ref, v_hbm, x_hbm, attn_ref, wproj_ref,
                  vhalo_ref, xhalo_ref, sem, *, th, w, wp, c_real,
                  bias_free, eps):
     cp = xb_ref.shape[-1]
-    two_fp = w1_ref.shape[-1]
-    fp = two_fp // 2
     i = pl.program_id(1)
     bi = pl.program_id(0)
     h_total = th * pl.num_programs(1)
 
-    top_row = jnp.maximum(i * th - 1, 0)
-    bot_row = jnp.minimum(i * th + th, h_total - 1)
-    copies = [
-        pltpu.make_async_copy(
-            x_hbm.at[bi, pl.ds(top_row, 1), :, :], xhalo_ref.at[0:1],
-            sem.at[0],
-        ),
-        pltpu.make_async_copy(
-            x_hbm.at[bi, pl.ds(bot_row, 1), :, :], xhalo_ref.at[1:2],
-            sem.at[1],
-        ),
-        pltpu.make_async_copy(
-            v_hbm.at[bi, pl.ds(top_row, 1), :, :], vhalo_ref.at[0:1],
-            sem.at[2],
-        ),
-        pltpu.make_async_copy(
-            v_hbm.at[bi, pl.ds(bot_row, 1), :, :], vhalo_ref.at[1:2],
-            sem.at[3],
-        ),
-    ]
-    for cpy in copies:
-        cpy.start()
-    for cpy in copies:
-        cpy.wait()
+    _gdfn_mod.fetch_row_halos(x_hbm, xhalo_ref, sem.at[0], sem.at[1],
+                              bi, i, th, h_total)
+    _gdfn_mod.fetch_row_halos(v_hbm, vhalo_ref, sem.at[2], sem.at[3],
+                              bi, i, th, h_total)
 
     xt = jnp.concatenate([xhalo_ref[0:1], xb_ref[0], xhalo_ref[1:2]], axis=0)
     vt = jnp.concatenate([vhalo_ref[0:1], vb_ref[0], vhalo_ref[1:2]], axis=0)
@@ -111,50 +91,11 @@ def _tail_kernel(vb_ref, xb_ref, v_hbm, x_hbm, attn_ref, wproj_ref,
     )
     x2 = xt.astype(jnp.float32) + o_wide  # (th+2, wp, cp) fp32
 
-    # ---- LN2 + GDFN on x2 (same math as gdfn._kernel) ----
-    ssum = jnp.sum(x2, axis=-1, keepdims=True)
-    ssq = jnp.sum(jnp.square(x2), axis=-1, keepdims=True)
-    mu = ssum / c_real
-    var = ssq / c_real - jnp.square(mu)
-    inv = jax.lax.rsqrt(var + eps)
-    if bias_free:
-        y = x2 * inv * lnw_ref[:].astype(jnp.float32)
-    else:
-        y = (x2 - mu) * inv * lnw_ref[:].astype(jnp.float32) + lnb_ref[
-            :
-        ].astype(jnp.float32)
-
-    rows = jax.lax.broadcasted_iota(jnp.int32, (th + 2, wp, 1), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (th + 2, wp, 1), 1)
-    invalid = (cols == 0) | (cols >= w + 1)
-    invalid = invalid | ((rows == 0) & (i == 0))
-    invalid = invalid | ((rows == th + 1) & (i == pl.num_programs(1) - 1))
-    y = jnp.where(invalid, 0, y).astype(xt.dtype)
-
-    hidden = jax.lax.dot_general(
-        y.reshape(-1, cp), w1_ref[:],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).reshape(th + 2, wp, two_fp)
-
-    acc = jnp.zeros((th, w, two_fp), jnp.float32)
-    for di in range(3):
-        for dj in range(3):
-            acc = acc + hidden[di : di + th, dj : dj + w, :] * wdw_ref[
-                di, dj, :
-            ].astype(jnp.float32)
-
-    x1 = acc[:, :, :fp]
-    g2 = acc[:, :, fp:]
-    gelu = 0.5 * x1 * (1.0 + _erf(x1 * 0.7071067811865476))
-    gated = (gelu * g2).astype(xt.dtype)
-
-    ffn = jax.lax.dot_general(
-        gated.reshape(-1, fp), w2_ref[:],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).reshape(th, w, cp)
-
+    # ---- LN2 + GDFN on x2: the body shared with gdfn._kernel ----
+    ffn = _gdfn_mod.ln_gdfn_stripe(
+        x2, i, lnw_ref, lnb_ref, w1_ref, wdw_ref, w2_ref, xt.dtype,
+        th=th, w=w, wp=wp, c_real=c_real, bias_free=bias_free, eps=eps,
+    )
     residual = x2[1 : th + 1, 1 : w + 1, :]
     out_ref[0] = (ffn + residual).astype(out_ref.dtype)
 
@@ -262,7 +203,7 @@ def fused_block_tail(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
-            vmem_limit_bytes=100 * 2**20,
+            vmem_limit_bytes=_gdfn_mod.VMEM_LIMIT,
         ),
         interpret=interpret,
     )(v, xp, v, xp, attn, wproj_p.astype(dtype), lnw_p.astype(dtype),

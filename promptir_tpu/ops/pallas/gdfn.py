@@ -37,13 +37,24 @@ def _lanes(c: int) -> int:
     return (c + 127) // 128 * 128
 
 
-def _pick_th(h: int, w: int, c: int, two_f: int, vmem_budget=44 * 2**20):
+# Stripe working-set budget and Mosaic scoped-vmem ceiling, sized for the
+# v5e's 128 MB VMEM. On smaller-VMEM parts set PROMPTIR_VMEM_BUDGET_MB /
+# PROMPTIR_VMEM_LIMIT_MB (e.g. 8 / 16) — shapes whose smallest stripe
+# exceeds the budget fall back to the XLA path instead of failing compile.
+import os as _os
+
+VMEM_BUDGET = int(_os.environ.get("PROMPTIR_VMEM_BUDGET_MB", "44")) * 2**20
+VMEM_LIMIT = int(_os.environ.get("PROMPTIR_VMEM_LIMIT_MB", "100")) * 2**20
+
+
+def _pick_th(h: int, w: int, c: int, two_f: int, vmem_budget=None):
     """Largest row-stripe height whose working set fits VMEM.
 
     Taller stripes matter more than VMEM frugality: the 2 halo rows mean
     (th+2)/th overcompute on LN + the expansion matmul + the taps, and each
     program pays fixed DMA/issue overhead — th=4 measured ~25% slower than
     th=16 at 4x512^2x48 on v5e (128 MB VMEM)."""
+    vmem_budget = VMEM_BUDGET if vmem_budget is None else vmem_budget
     for th in (64, 32, 16, 8, 4, 2):
         if h % th:
             continue
@@ -70,62 +81,79 @@ def _erf(x):
     return s * (1.0 - poly * jnp.exp(-ax * ax))
 
 
-def _kernel(xb_ref, x_hbm, lnw_ref, lnb_ref, w1_ref, wdw_ref, w2_ref,
-            out_ref, halo_ref, sem, *, th, w, wp, c_real, bias_free, eps):
-    # channel counts inside the kernel are the padded ones
-    cp = xb_ref.shape[-1]
-    two_fp = w1_ref.shape[-1]
-    fp = two_fp // 2
-    i = pl.program_id(1)
-    bi = pl.program_id(0)
-    n_i = pl.num_programs(1)
-    h_total = th * n_i
+def fetch_row_halos(x_hbm, halo_ref, sem0, sem1, bi, i, th, h_total):
+    """DMA the row above and below the stripe into halo scratch.
 
-    # the bulk stripe arrives via the auto-pipelined blocked input; only
-    # the 2 halo rows are fetched manually (tiny, overlapped trivially).
-    # Border rows are clamped — the border mask below zeroes them anyway.
+    Border rows are clamped — the caller's border mask zeroes them anyway.
+    """
     top_row = jnp.maximum(i * th - 1, 0)
     bot_row = jnp.minimum(i * th + th, h_total - 1)
     cp_top = pltpu.make_async_copy(
-        x_hbm.at[bi, pl.ds(top_row, 1), :, :], halo_ref.at[0:1], sem.at[0]
+        x_hbm.at[bi, pl.ds(top_row, 1), :, :], halo_ref.at[0:1], sem0
     )
     cp_bot = pltpu.make_async_copy(
-        x_hbm.at[bi, pl.ds(bot_row, 1), :, :], halo_ref.at[1:2], sem.at[1]
+        x_hbm.at[bi, pl.ds(bot_row, 1), :, :], halo_ref.at[1:2], sem1
     )
     cp_top.start()
     cp_bot.start()
     cp_top.wait()
     cp_bot.wait()
 
-    xt = jnp.concatenate(
-        [halo_ref[0:1], xb_ref[0], halo_ref[1:2]], axis=0
-    )  # (th+2, wp, cp); channels >= c_real are zero
-    xf = xt.astype(jnp.float32)
-    # LN statistics over the REAL channels: zeros contribute nothing to the
-    # sums, so divide by c_real and use sumsq - mu^2 for the variance
+
+def ln_stripe(xf, lnw_ref, lnb_ref, c_real, bias_free, eps):
+    """LayerNorm of an fp32 stripe over the REAL channels: zero-padded
+    lanes contribute nothing to the sums, so divide by c_real and use
+    sumsq - mu^2 for the variance; zero-padded lnw/lnb keep pad lanes 0."""
     ssum = jnp.sum(xf, axis=-1, keepdims=True)
     ssq = jnp.sum(jnp.square(xf), axis=-1, keepdims=True)
     mu = ssum / c_real
     var = ssq / c_real - jnp.square(mu)
     inv = jax.lax.rsqrt(var + eps)
     if bias_free:
-        y = xf * inv * lnw_ref[:].astype(jnp.float32)
-    else:
-        # lnw/lnb are zero-padded, so pad channels stay exactly zero
-        y = (xf - mu) * inv * lnw_ref[:].astype(jnp.float32) + lnb_ref[
-            :
-        ].astype(jnp.float32)
-    # the true dwconv zero-pads the HIDDEN tensor; x's zero padding passed
-    # through LN is nonzero, so zero the global-border halo lines of y —
-    # hidden = y @ W1 is linear, so masking y (cp lanes) is equivalent to
-    # masking hidden (2F lanes) and costs half the select work.
-    # (masks built 3-D: Mosaic can't reshape 2-D i1 vectors)
+        return xf * inv * lnw_ref[:].astype(jnp.float32)
+    return (xf - mu) * inv * lnw_ref[:].astype(jnp.float32) + lnb_ref[
+        :
+    ].astype(jnp.float32)
+
+
+def border_mask(i, th, w, wp):
+    """True where a stripe row/col lies outside the image (the dwconv
+    zero-pads there, but x's zero padding comes out of LN nonzero).
+    Masks are built 3-D: Mosaic can't reshape 2-D i1 vectors."""
     rows = jax.lax.broadcasted_iota(jnp.int32, (th + 2, wp, 1), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (th + 2, wp, 1), 1)
     invalid = (cols == 0) | (cols >= w + 1)
     invalid = invalid | ((rows == 0) & (i == 0))
     invalid = invalid | ((rows == th + 1) & (i == pl.num_programs(1) - 1))
-    y = jnp.where(invalid, 0, y).astype(xt.dtype)
+    return invalid
+
+
+def dwconv3x3_stripe(hidden, wdw_ref, th, w):
+    """Depthwise 3x3 as 9 shifted multiply-adds (VPU), all fp32 (bf16
+    taps re-measured slower: no VPU rate advantage + conversion cost)."""
+    two_fp = hidden.shape[-1]
+    acc = jnp.zeros((th, w, two_fp), jnp.float32)
+    for di in range(3):
+        for dj in range(3):
+            acc = acc + hidden[di : di + th, dj : dj + w, :] * wdw_ref[
+                di, dj, :
+            ].astype(jnp.float32)
+    return acc
+
+
+def ln_gdfn_stripe(xf, i, lnw_ref, lnb_ref, w1_ref, wdw_ref, w2_ref,
+                   io_dtype, *, th, w, wp, c_real, bias_free, eps):
+    """GDFN(LN(stripe)) — the body shared by the standalone LN+GDFN kernel
+    and the fused block tail (ops/pallas/block.py). xf: (th+2, wp, cp)
+    fp32 with zero-padded channels; returns (th, w, cp) fp32 (no residual).
+    """
+    cp = xf.shape[-1]
+    two_fp = w1_ref.shape[-1]
+    fp = two_fp // 2
+    y = ln_stripe(xf, lnw_ref, lnb_ref, c_real, bias_free, eps)
+    # mask y (cp lanes) before the linear expansion instead of hidden
+    # (2F lanes) after: equivalent by linearity, half the select work
+    y = jnp.where(border_mask(i, th, w, wp), 0, y).astype(io_dtype)
 
     # 1x1 expansion on the MXU (padded dims; zero rows keep padding inert);
     # hidden stays fp32 so the 9 dwconv taps need no per-tap conversion
@@ -135,28 +163,40 @@ def _kernel(xb_ref, x_hbm, lnw_ref, lnb_ref, w1_ref, wdw_ref, w2_ref,
         preferred_element_type=jnp.float32,
     ).reshape(th + 2, wp, two_fp)
 
-    # depthwise 3x3 as 9 shifted multiply-adds (VPU), all fp32 (bf16 taps
-    # re-measured slower: no VPU rate advantage + conversion cost)
-    acc = jnp.zeros((th, w, two_fp), jnp.float32)
-    for di in range(3):
-        for dj in range(3):
-            acc = acc + hidden[di : di + th, dj : dj + w, :] * wdw_ref[
-                di, dj, :
-            ].astype(jnp.float32)
+    acc = dwconv3x3_stripe(hidden, wdw_ref, th, w)
 
     x1 = acc[:, :, :fp]
     x2 = acc[:, :, fp:]
     # exact (erf) gelu — erf approximated in-kernel (no Mosaic primitive)
     gelu = 0.5 * x1 * (1.0 + _erf(x1 * 0.7071067811865476))
-    gated = (gelu * x2).astype(xt.dtype)
+    gated = (gelu * x2).astype(io_dtype)
 
-    out = jax.lax.dot_general(
+    return jax.lax.dot_general(
         gated.reshape(-1, fp), w2_ref[:],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).reshape(th, w, cp)
 
-    residual = xt[1 : th + 1, 1 : w + 1, :].astype(jnp.float32)
+
+def _kernel(xb_ref, x_hbm, lnw_ref, lnb_ref, w1_ref, wdw_ref, w2_ref,
+            out_ref, halo_ref, sem, *, th, w, wp, c_real, bias_free, eps):
+    i = pl.program_id(1)
+    bi = pl.program_id(0)
+
+    # the bulk stripe arrives via the auto-pipelined blocked input; only
+    # the 2 halo rows are fetched manually (tiny, overlapped trivially)
+    fetch_row_halos(x_hbm, halo_ref, sem.at[0], sem.at[1], bi, i, th,
+                    th * pl.num_programs(1))
+    xt = jnp.concatenate(
+        [halo_ref[0:1], xb_ref[0], halo_ref[1:2]], axis=0
+    )  # (th+2, wp, cp); channels >= c_real are zero
+    xf = xt.astype(jnp.float32)
+
+    out = ln_gdfn_stripe(
+        xf, i, lnw_ref, lnb_ref, w1_ref, wdw_ref, w2_ref, xt.dtype,
+        th=th, w=w, wp=wp, c_real=c_real, bias_free=bias_free, eps=eps,
+    )
+    residual = xf[1 : th + 1, 1 : w + 1, :]
     out_ref[0] = (out + residual).astype(out_ref.dtype)
 
 
@@ -262,7 +302,7 @@ def fused_ln_gdfn(
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
-            vmem_limit_bytes=100 * 2**20,  # default 16M forces tiny stripes
+            vmem_limit_bytes=VMEM_LIMIT,  # default 16M forces tiny stripes
         ),
         interpret=interpret,
     )(xp, xp, lnw_p.astype(dtype), lnb_p.astype(dtype), w1_p.astype(dtype),

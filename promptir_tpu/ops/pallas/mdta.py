@@ -33,13 +33,15 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from promptir_tpu.ops.pallas import gdfn as _gdfn_mod
 from promptir_tpu.ops.pallas.gdfn import _lanes
 
 
-def _pick_th(h: int, w: int, cp: int, vmem_budget=44 * 2**20):
+def _pick_th(h: int, w: int, cp: int, vmem_budget=None):
     # taller stripes amortize the 2 halo rows and per-program overhead —
     # see gdfn._pick_th; v5e has 128 MB VMEM so 44 MB of blocks is safe
     # (th=16 at 512px; th=32 measured no faster)
+    vmem_budget = _gdfn_mod.VMEM_BUDGET if vmem_budget is None else vmem_budget
     for th in (64, 32, 16, 8, 4, 2):
         if h % th:
             continue
@@ -65,46 +67,23 @@ def _kernel_a(xb_ref, x_hbm, lnw_ref, lnb_ref, wqkv_ref, wdw_ref,
     packed, ssqk is unused/zero in this mode)."""
     i = pl.program_id(1)
     bi = pl.program_id(0)
-    h_total = th * pl.num_programs(1)
 
     # bulk stripe via the auto-pipelined blocked input; 2 halo rows by DMA
-    top_row = jnp.maximum(i * th - 1, 0)
-    bot_row = jnp.minimum(i * th + th, h_total - 1)
-    cp_top = pltpu.make_async_copy(
-        x_hbm.at[bi, pl.ds(top_row, 1), :, :], halo_ref.at[0:1], sem.at[0]
+    _gdfn_mod.fetch_row_halos(
+        x_hbm, halo_ref, sem.at[0], sem.at[1], bi, i, th,
+        th * pl.num_programs(1),
     )
-    cp_bot = pltpu.make_async_copy(
-        x_hbm.at[bi, pl.ds(bot_row, 1), :, :], halo_ref.at[1:2], sem.at[1]
-    )
-    cp_top.start()
-    cp_bot.start()
-    cp_top.wait()
-    cp_bot.wait()
-
     xt = jnp.concatenate(
         [halo_ref[0:1], xb_ref[0], halo_ref[1:2]], axis=0
     )
     xf = xt.astype(jnp.float32)
-    ssum = jnp.sum(xf, axis=-1, keepdims=True)
-    ssq = jnp.sum(jnp.square(xf), axis=-1, keepdims=True)
-    mu = ssum / c_real
-    var = ssq / c_real - jnp.square(mu)
-    inv = jax.lax.rsqrt(var + eps)
-    if bias_free:
-        y = xf * inv * lnw_ref[:].astype(jnp.float32)
-    else:
-        y = (xf - mu) * inv * lnw_ref[:].astype(jnp.float32) + lnb_ref[
-            :
-        ].astype(jnp.float32)
+    y = _gdfn_mod.ln_stripe(xf, lnw_ref, lnb_ref, c_real, bias_free, eps)
     # the dwconv zero-pads at global borders; x's zero pad produced nonzero
     # LN output in halo lines — mask y (cp lanes) before the linear qkv
     # matmul instead of qkv (3cp lanes) after: equivalent, cheaper select
-    rows = jax.lax.broadcasted_iota(jnp.int32, (th + 2, wp, 1), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (th + 2, wp, 1), 1)
-    invalid = (cols == 0) | (cols >= w + 1)
-    invalid = invalid | ((rows == 0) & (i == 0))
-    invalid = invalid | ((rows == th + 1) & (i == pl.num_programs(1) - 1))
-    y = jnp.where(invalid, 0, y).astype(xt.dtype)
+    y = jnp.where(
+        _gdfn_mod.border_mask(i, th, w, wp), 0, y
+    ).astype(xt.dtype)
 
     width = wqkv_ref.shape[-1]  # 3*cp, or qkp+cp when packed
     qkv = jax.lax.dot_general(
@@ -113,15 +92,7 @@ def _kernel_a(xb_ref, x_hbm, lnw_ref, lnb_ref, wqkv_ref, wdw_ref,
         preferred_element_type=jnp.float32,
     ).reshape(th + 2, wp, width)
 
-    # W (sublane) slices hoisted out of the di loop: 3 sublane shifts
-    # instead of 9 (row slices are free)
-    acc = jnp.zeros((th, w, width), jnp.float32)
-    for dj in range(3):
-        sh = qkv[:, dj : dj + w, :]
-        for di in range(3):
-            acc = acc + sh[di : di + th] * wdw_ref[di, dj, :].astype(
-                jnp.float32
-            )
+    acc = _gdfn_mod.dwconv3x3_stripe(qkv, wdw_ref, th, w)
 
     if qkp:
         slab = acc[:, :, :qkp].reshape(-1, qkp)
@@ -238,7 +209,7 @@ def fused_ln_mdta(
         out_shape=jax.ShapeDtypeStruct((b, h, w, cp), dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
-            vmem_limit_bytes=100 * 2**20,
+            vmem_limit_bytes=_gdfn_mod.VMEM_LIMIT,
         ),
         interpret=interpret,
     )(v_arr, jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, cp - c))),
@@ -373,7 +344,7 @@ def mdta_stats(
         compiler_params=pltpu.CompilerParams(
             # i accumulates S across stripes: must stay sequential
             dimension_semantics=("parallel", "arbitrary"),
-            vmem_limit_bytes=100 * 2**20,
+            vmem_limit_bytes=_gdfn_mod.VMEM_LIMIT,
         ),
         interpret=interpret,
     )(xp, xp, lnw_p.astype(dtype), lnb_p.astype(dtype),
