@@ -171,13 +171,51 @@ class EasyChannelTransformerBlock(nn.Module):
         return x
 
 
+def local_avg_pool(x: jnp.ndarray, kernel) -> jnp.ndarray:
+    """TLC local average pooling (NHWC).
+
+    Semantics of the TLC `AvgPool2d` that `Local_Base.convert` swaps in for
+    the SCA's global pool (megvii NAFNet local_arch; imported-but-external in
+    the reference, /root/reference/net/nafnet.py:19-20): valid-position
+    window means via a zero-padded 2D integral image, replicate-padded back
+    to the input's spatial size; falls back to the global mean when the
+    kernel covers the whole map.
+    """
+    b, h, w, c = x.shape
+    k1, k2 = min(int(kernel[0]), h), min(int(kernel[1]), w)
+    if k1 >= h and k2 >= w:
+        return jnp.mean(x, axis=(1, 2), keepdims=True)
+    xf = x.astype(jnp.float32)
+    s = jnp.cumsum(jnp.cumsum(xf, axis=1), axis=2)
+    s = jnp.pad(s, ((0, 0), (1, 0), (1, 0), (0, 0)))
+    out = (
+        s[:, k1:, k2:] + s[:, :-k1, :-k2] - s[:, :-k1, k2:] - s[:, k1:, :-k2]
+    ) / (k1 * k2)
+    ph, pw = h - out.shape[1], w - out.shape[2]
+    out = jnp.pad(
+        out,
+        ((0, 0), (ph // 2, ph - ph // 2), (pw // 2, pw - pw // 2), (0, 0)),
+        mode="edge",
+    )
+    return out.astype(x.dtype)
+
+
 class NAFBlock(nn.Module):
-    """Simple Baselines block (nafnet.py:27-82)."""
+    """Simple Baselines block (nafnet.py:27-82).
+
+    `tlc_kernel` enables the TLC local-pool SCA at inference (NAFNetLocal);
+    the parameter tree is unchanged, so NAFNet weights load directly. TLC
+    fixes the kernel at convert time from the *train-time* feature size at
+    this pool's depth (`kernel = train_feat_shape * base // train_size` =
+    base / 2^level, set once during the convert dry-run and never rescaled
+    at test time), so the kernel is a static per-level constant here.
+    """
 
     dim: int
     dw_expand: int = 2
     ffn_expand: int = 2
     dtype: jnp.dtype = jnp.float32
+    tlc_kernel: "tuple | None" = None
 
     @nn.compact
     def __call__(self, inp):
@@ -188,7 +226,10 @@ class NAFBlock(nn.Module):
         x = Conv(dw, (3, 3), padding=((1, 1), (1, 1)), feature_group_count=dw,
                  use_bias=True, dtype=self.dtype, name="conv2")(x)
         x = simple_gate(x)
-        pooled = jnp.mean(x, axis=(1, 2), keepdims=True)
+        if self.tlc_kernel is not None:
+            pooled = local_avg_pool(x, self.tlc_kernel)
+        else:
+            pooled = jnp.mean(x, axis=(1, 2), keepdims=True)
         x = x * Conv(dw // 2, (1, 1), use_bias=True, dtype=self.dtype,
                      name="sca_1")(pooled)
         x = Conv(c, (1, 1), use_bias=True, dtype=self.dtype, name="conv3")(x)
