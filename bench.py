@@ -38,9 +38,18 @@ ITERS = 8
 
 def main():
     from promptir_tpu.models import create_model
+    from promptir_tpu.utils.compile_cache import enable_persistent_cache
+
+    # executables persist across processes (the relay's remote compile of a
+    # fresh shape takes minutes; a warm run starts in seconds)
+    enable_persistent_cache()
 
     model = create_model("promptir", dtype=jnp.bfloat16, fused_ffn=True)
-    params = model.init(
+    # init through the unfused twin (identical param tree) under one jit:
+    # eager init would dispatch hundreds of individual ops through the
+    # relay, and the fused kernels would add Pallas compiles at init shape
+    init_model = create_model("promptir", dtype=jnp.bfloat16, fused_ffn=False)
+    params = jax.jit(init_model.init)(
         jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3))
     )["params"]
 

@@ -38,7 +38,7 @@ def tile_positions(size: int, tile: int, stride: int) -> list[int]:
 
 
 @functools.partial(
-    jax.jit, static_argnums=(0, 3, 4, 5)
+    jax.jit, static_argnums=(0, 3, 4, 5, 6)
 )
 def _tiled_forward(
     model_fn: Callable,
@@ -47,6 +47,7 @@ def _tiled_forward(
     tile: int,
     overlap: int,
     chunk: int,
+    mesh=None,
 ):
     b, h, w, c = x.shape
     stride = tile - overlap
@@ -68,10 +69,25 @@ def _tiled_forward(
     tiles = jax.vmap(gather)(coords_j)  # (n_pad, b, tile, tile, c)
     tiles = tiles.reshape(n_pad * b, tile, tile, c)
 
+    shard = rep = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        shard = NamedSharding(mesh, P("data"))
+        rep = NamedSharding(mesh, P())
+
     outs = []
     for s in range(0, n_pad * b, chunk * b):
-        outs.append(model_fn(params, tiles[s : s + chunk * b]))
+        chunk_in = tiles[s : s + chunk * b]
+        if shard is not None:
+            # tile-batch data parallelism: each device forwards its slice
+            # of the tile batch (multi-chip single-image scaling)
+            chunk_in = jax.lax.with_sharding_constraint(chunk_in, shard)
+        outs.append(model_fn(params, chunk_in))
     outs = jnp.concatenate(outs, axis=0).reshape(n_pad, b, tile, tile, c)
+    if rep is not None:
+        # the blend scan is sequential; run it replicated on every device
+        outs = jax.lax.with_sharding_constraint(outs, rep)
 
     acc = jnp.zeros((b, h, w, c), jnp.float32)
     cnt = jnp.zeros((b, h, w, 1), jnp.float32)
@@ -106,19 +122,29 @@ def tiled_inference(
     overlap: int = 32,
     chunk: int = 8,
     bucket: int = 64,
+    mesh=None,
 ) -> jnp.ndarray:
     """Run `model_fn(params, batch)` over overlapping tiles of NHWC `x`.
 
     `chunk` tiles are batched per forward; `bucket` controls shape
     bucketing (inputs are reflect-padded to a multiple, so recompiles only
     happen per bucket, not per resolution).
+
+    With `mesh`, the tile batch is sharded over the mesh's `data` axis
+    (params replicated): one oversized image is restored by all chips in
+    parallel, bitwise-identical to the single-chip result. This is the
+    throughput-oriented multi-chip path; `parallel/halo.py` is the
+    seam-exact alternative.
     """
     _, h, w, _ = x.shape
+    if mesh is not None:
+        n_dev = int(np.prod([mesh.shape[a] for a in ("data",)]))
+        chunk = max(1, (chunk + n_dev - 1) // n_dev) * n_dev
     if h <= tile and w <= tile:
         # small image: single padded forward
         xp = pad_to_multiple_reflect(x, bucket)
         y = model_fn(params, xp)
         return jnp.clip(y[:, :h, :w, :], 0.0, 1.0)
     xp = pad_to_multiple_reflect(x, bucket)
-    y = _tiled_forward(model_fn, params, xp, tile, overlap, chunk)
+    y = _tiled_forward(model_fn, params, xp, tile, overlap, chunk, mesh)
     return y[:, :h, :w, :]

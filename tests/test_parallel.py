@@ -99,3 +99,31 @@ def test_set_learning_rate_no_recompile():
     if not hasattr(hp, "hyperparams"):
         hp = next(x for x in hp if hasattr(x, "hyperparams"))
     assert float(hp.hyperparams["learning_rate"]) == pytest.approx(1e-4)
+
+
+def test_sharded_tiled_inference_matches_single():
+    """Tile-batch data parallelism over the mesh reproduces the single-chip
+    tiled result on one oversized image."""
+    import flax.linen as nn
+
+    from promptir_tpu.eval.tiling import tiled_inference
+
+    class _Net(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            x = nn.relu(nn.Conv(8, (3, 3), padding="SAME")(x))
+            return nn.Conv(3, (3, 3), padding="SAME")(x)
+
+    net = _Net()
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(size=(1, 200, 312, 3)).astype(np.float32))
+    params = net.init(jax.random.PRNGKey(0), x[:, :64, :64])
+    fn = lambda p, t: net.apply(p, t)  # noqa: E731
+
+    y_single = tiled_inference(fn, params, x, tile=64, overlap=16)
+    mesh = create_mesh()
+    params_r = jax.device_put(params, replicated(mesh))
+    y_mesh = tiled_inference(fn, params_r, x, tile=64, overlap=16, mesh=mesh)
+    np.testing.assert_allclose(
+        np.asarray(y_mesh), np.asarray(y_single), rtol=1e-6, atol=1e-6
+    )
