@@ -1,0 +1,9 @@
+import os, time
+os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS","") + " --xla_force_host_platform_device_count=8"
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+import __graft_entry__ as g
+t0=time.time()
+g.dryrun_multichip(8)
+print("total", time.time()-t0)

@@ -29,6 +29,10 @@ def build_parser() -> argparse.ArgumentParser:
         "--fused", action="store_true",
         help="fused Pallas transformer-block kernels (TPU)",
     )
+    p.add_argument(
+        "--mesh", action="store_true",
+        help="shard the tile batch over all devices (multi-chip tiling)",
+    )
     return p
 
 
@@ -57,10 +61,19 @@ def main(argv=None):
     from promptir_tpu.eval.padding import pad_to_multiple_reflect
     from promptir_tpu.eval.tiling import tiled_inference
     from promptir_tpu.models import create_model
+    from promptir_tpu.utils.compile_cache import enable_persistent_cache
     from promptir_tpu.utils.image_io import save_image
 
+    enable_persistent_cache()
     model = create_model(args.model, **model_kwargs(args))
     params = load_params(model, args.ckpt_name)
+
+    mesh = None
+    if args.mesh:
+        from promptir_tpu.parallel.mesh import create_mesh, replicated
+
+        mesh = create_mesh()
+        params = jax.device_put(params, replicated(mesh))
 
     @jax.jit
     def model_fn(p, x):
@@ -80,6 +93,7 @@ def main(argv=None):
                 tile=args.tile_size,
                 overlap=args.tile_overlap,
                 chunk=args.tile_chunk,
+                mesh=mesh,
             )
         else:
             xp = pad_to_multiple_reflect(x, 8)

@@ -72,7 +72,9 @@ def main(argv=None):
     from promptir_tpu.models import create_model
 
     from promptir_tpu.cli.demo import model_kwargs
+    from promptir_tpu.utils.compile_cache import enable_persistent_cache
 
+    enable_persistent_cache()
     model = create_model(args.model, **model_kwargs(args))
     params = load_params(model, args.ckpt_name)
 

@@ -119,6 +119,9 @@ def main(argv=None):
             kw["fused_ffn"] = True
         model = create_model(args.model, **kw)
 
+    from promptir_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     trainer = Trainer(cfg, dataset, model=model)
     if args.resume is not None:
         trainer.resume(None if args.resume == "latest" else int(args.resume))
