@@ -72,11 +72,15 @@ class _AttnParams(nn.Module):
 
 
 def fused_mdta_gdfn_block(x, dim, num_heads, hidden, *, bias_free, dtype,
-                          names=("norm1", "attn", "norm2", "ffn")):
+                          names=("norm1", "attn", "norm2", "ffn"),
+                          padded_shape=None):
     """Declare an MDTA+GDFN block's params (paths identical to the unfused
     modules) and run it through the fused kernels. Shared by
     TransformerBlock, XTransformerBlock's channel half, and
-    ChannelTransformerBlock — only the submodule names differ."""
+    ChannelTransformerBlock — only the submodule names differ.
+
+    `padded_shape=(W, C)` marks x as already in the kernels' padded layout
+    (see ops/pallas/block.py:pad_nhwc) — chain mode, in and out padded."""
     lnw1, lnb1 = _LNParams(dim, bias_free, name=names[0])()
     wqkv, wdw, wproj, temp = _AttnParams(dim, num_heads, name=names[1])()
     lnw2, lnb2 = _LNParams(dim, bias_free, name=names[2])()
@@ -84,23 +88,55 @@ def fused_mdta_gdfn_block(x, dim, num_heads, hidden, *, bias_free, dtype,
     return fused_block_apply(
         x, lnw1, lnb1, wqkv, wdw, wproj, temp, num_heads,
         lnw2, lnb2, w1, wdwf, w2, bias_free=bias_free, dtype=dtype,
+        padded_shape=padded_shape,
     )
 
 
 def fused_block_apply(x, lnw1, lnb1, wqkv, wdwa, wproj, temp, num_heads,
-                      lnw2, lnb2, w1, wdwf, w2, *, bias_free, dtype):
+                      lnw2, lnb2, w1, wdwf, w2, *, bias_free, dtype,
+                      padded_shape=None):
     """x + MDTA(LN1(x)); + GDFN(LN2(.)) through the Pallas kernels.
 
     Tries whole-block fusion (stats + tail, ops/pallas/block.py), then the
     per-branch fused kernels, then plain XLA — identical math and params
-    either way; everything differentiable (custom-VJP wrappers)."""
+    either way; everything differentiable (custom-VJP wrappers).
+
+    `padded_shape=(W, C)` runs in padded-layout chain mode: x is
+    (B,H,wp,cp) from pad_nhwc and comes back padded too. The caller is
+    responsible for only requesting it when the fused path fits
+    (autodiff.block_fits) — otherwise the block unpads, computes, repads.
+    """
     from promptir_tpu.ops.pallas.autodiff import (
         ln_block,
+        ln_block_p,
         ln_gdfn,
         ln_mdta,
         xla_ln_gdfn,
         xla_ln_mdta,
     )
+
+    if padded_shape is not None:
+        from promptir_tpu.ops.pallas.block import pad_nhwc, unpad_nhwc
+
+        w_real, c_real = padded_shape
+        dim = c_real
+        hidden = w2.shape[0] if w2.ndim == 2 else w2.shape[2]
+        out = ln_block_p(
+            x.astype(dtype), w_real, c_real, lnw1, lnb1,
+            wqkv.reshape(dim, 3 * dim), wdwa.reshape(3, 3, 3 * dim),
+            wproj.reshape(dim, dim), temp, num_heads, lnw2, lnb2,
+            w1.reshape(dim, 2 * hidden), wdwf.reshape(3, 3, 2 * hidden),
+            w2.reshape(hidden, dim), bias_free=bias_free,
+        )
+        if out is not None:
+            return out.astype(x.dtype)
+        # fallback (callers normally pre-check): unpad, compute, repad
+        inner = fused_block_apply(
+            unpad_nhwc(x, w_real, c_real), lnw1, lnb1, wqkv, wdwa, wproj,
+            temp, num_heads, lnw2, lnb2, w1, wdwf, w2,
+            bias_free=bias_free, dtype=dtype,
+        )
+        return pad_nhwc(inner)
 
     dim = x.shape[-1]
     hidden = w2.shape[0] if w2.ndim == 2 else w2.shape[2]
@@ -173,13 +209,15 @@ class TransformerBlock(nn.Module):
     fused_ffn: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, padded_shape=None) -> jnp.ndarray:
         hidden = int(self.dim * self.expansion)
         if self.fused_ffn and not self.use_bias:
             return fused_mdta_gdfn_block(
                 x, self.dim, self.num_heads, hidden,
                 bias_free=self.bias_free_norm, dtype=self.dtype,
+                padded_shape=padded_shape,
             )
+        assert padded_shape is None  # chain mode requires the fused path
         y = RestormerLayerNorm(
             self.dim, self.bias_free_norm, name="norm1"
         )(x)
@@ -192,6 +230,35 @@ class TransformerBlock(nn.Module):
             self.dim, self.expansion, self.use_bias, self.dtype, name="ffn"
         )(y)
         return x
+
+
+def apply_block_stack(blocks, x, *, fused: bool, expansion: float = 2.66):
+    """Run a uniform sequence of TransformerBlocks.
+
+    When the whole-block fused path applies, the blocks are chained in the
+    kernels' padded layout: ONE pad before the stack and ONE slice after it
+    instead of per-block XLA pad/slice copies (~1.7 ms each at the
+    full-resolution level of a batch-8 512px forward). Falls back to the
+    plain per-block loop whenever the fused path wouldn't run.
+    """
+    if not blocks:
+        return x
+    blk = blocks[0]
+    fused = fused and len(blocks) > 1 and blk.fused_ffn and not blk.use_bias
+    if fused:
+        from promptir_tpu.ops.pallas.autodiff import block_fits
+        from promptir_tpu.ops.pallas.block import pad_nhwc, unpad_nhwc
+
+        _, h, w, c = x.shape
+        two_f = 2 * int(c * expansion)
+        if block_fits(h, w, c, two_f, blk.num_heads):
+            xp = pad_nhwc(x)
+            for b in blocks:
+                xp = b(xp, padded_shape=(w, c))
+            return unpad_nhwc(xp, w, c)
+    for b in blocks:
+        x = b(x)
+    return x
 
 
 class DeadConv(nn.Module):

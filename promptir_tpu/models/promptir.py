@@ -27,7 +27,11 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from promptir_tpu.models import register_model
-from promptir_tpu.models.blocks import DeadConv, TransformerBlock
+from promptir_tpu.models.blocks import (
+    DeadConv,
+    TransformerBlock,
+    apply_block_stack,
+)
 from promptir_tpu.ops.conv import Conv
 from promptir_tpu.ops.embed import OverlapPatchEmbed
 from promptir_tpu.ops.prompt import PromptGenBlock
@@ -62,6 +66,16 @@ class PromptIR(nn.Module):
         cls = nn.remat(TransformerBlock) if self.remat else TransformerBlock
         return [cls(**common, name=f"{name}_{i}") for i in range(n)]
 
+    def _run(self, name: str, n: int, dim: int, heads: int, x):
+        """One level's block stack, chained in the kernels' padded layout
+        when the fused path applies (remat wraps __call__'s static
+        padded_shape arg, so chaining is for the non-remat path)."""
+        return apply_block_stack(
+            self._stack(name, n, dim, heads), x,
+            fused=self.fused_ffn and not self.remat,
+            expansion=self.expansion,
+        )
+
     @nn.compact
     def __call__(self, inp_img: jnp.ndarray) -> jnp.ndarray:
         d = self.dim
@@ -89,20 +103,16 @@ class PromptIR(nn.Module):
         )
 
         # --- encoder ---
-        for blk in self._stack("encoder_level1", nb[0], d, hs[0]):
-            x = blk(x)
+        x = self._run("encoder_level1", nb[0], d, hs[0], x)
         enc1 = x
         x = Downsample(d, self.dtype, name="down1_2")(x)
-        for blk in self._stack("encoder_level2", nb[1], 2 * d, hs[1]):
-            x = blk(x)
+        x = self._run("encoder_level2", nb[1], 2 * d, hs[1], x)
         enc2 = x
         x = Downsample(2 * d, self.dtype, name="down2_3")(x)
-        for blk in self._stack("encoder_level3", nb[2], 4 * d, hs[2]):
-            x = blk(x)
+        x = self._run("encoder_level3", nb[2], 4 * d, hs[2], x)
         enc3 = x
         x = Downsample(4 * d, self.dtype, name="down3_4")(x)
-        for blk in self._stack("latent", nb[3], 8 * d, hs[3]):
-            x = blk(x)
+        x = self._run("latent", nb[3], 8 * d, hs[3], x)
 
         # --- prompt injection at the latent (level-3 prompt) ---
         if self.decoder:
@@ -126,8 +136,7 @@ class PromptIR(nn.Module):
         x = Upsample(4 * d, self.dtype, name="up4_3")(x)
         x = jnp.concatenate([x, enc3], axis=-1)
         x = conv(4 * d, 1, "reduce_chan_level3")(x)
-        for blk in self._stack("decoder_level3", nb[2], 4 * d, hs[2]):
-            x = blk(x)
+        x = self._run("decoder_level3", nb[2], 4 * d, hs[2], x)
 
         if self.decoder:
             p2 = PromptGenBlock(
@@ -150,8 +159,7 @@ class PromptIR(nn.Module):
         x = Upsample(4 * d, self.dtype, name="up3_2")(x)
         x = jnp.concatenate([x, enc2], axis=-1)
         x = conv(2 * d, 1, "reduce_chan_level2")(x)
-        for blk in self._stack("decoder_level2", nb[1], 2 * d, hs[1]):
-            x = blk(x)
+        x = self._run("decoder_level2", nb[1], 2 * d, hs[1], x)
 
         if self.decoder:
             p1 = PromptGenBlock(
@@ -173,12 +181,8 @@ class PromptIR(nn.Module):
         # --- decoder level 1 (96ch, no reduce after up) ---
         x = Upsample(2 * d, self.dtype, name="up2_1")(x)
         x = jnp.concatenate([x, enc1], axis=-1)
-        for blk in self._stack("decoder_level1", nb[0], 2 * d, hs[0]):
-            x = blk(x)
-        for blk in self._stack(
-            "refinement", self.num_refinement_blocks, 2 * d, hs[0]
-        ):
-            x = blk(x)
+        x = self._run("decoder_level1", nb[0], 2 * d, hs[0], x)
+        x = self._run("refinement", self.num_refinement_blocks, 2 * d, hs[0], x)
 
         out = conv(self.out_channels, 3, "output")(x)
         return (out + inp_img.astype(out.dtype)).astype(jnp.float32)

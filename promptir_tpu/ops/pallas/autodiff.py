@@ -167,20 +167,91 @@ def _ln_block_bwd(num_heads, bias_free, eps, interpret, res, g):
 _ln_block.defvjp(_ln_block_fwd, _ln_block_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13, 14, 15, 16, 17))
+def _ln_block_p(xp, ln1w, ln1b, wqkv, wdwa, wproj, temp,
+                ln2w, ln2b, w1, wdwf, w2, num_heads, bias_free, eps,
+                interpret, w_real, c_real):
+    from promptir_tpu.ops.pallas.block import fused_transformer_block_padded
+
+    out = fused_transformer_block_padded(
+        xp, w_real, c_real, ln1w, ln1b, wqkv, wdwa, wproj, temp, num_heads,
+        ln2w, ln2b, w1, wdwf, w2,
+        bias_free=bias_free, eps=eps, interpret=interpret,
+    )
+    assert out is not None
+    return out
+
+
+def _ln_block_p_fwd(xp, ln1w, ln1b, wqkv, wdwa, wproj, temp, ln2w, ln2b,
+                    w1, wdwf, w2, num_heads, bias_free, eps, interpret,
+                    w_real, c_real):
+    return (
+        _ln_block_p(xp, ln1w, ln1b, wqkv, wdwa, wproj, temp, ln2w, ln2b,
+                    w1, wdwf, w2, num_heads, bias_free, eps, interpret,
+                    w_real, c_real),
+        (xp, ln1w, ln1b, wqkv, wdwa, wproj, temp, ln2w, ln2b, w1, wdwf, w2),
+    )
+
+
+def _ln_block_p_bwd(num_heads, bias_free, eps, interpret, w_real, c_real,
+                    res, g):
+    wp, cp = res[0].shape[2], res[0].shape[3]
+
+    def ref(xp, ln1w, ln1b, wqkv, wdwa, wproj, temp, ln2w, ln2b, w1, wdwf,
+            w2):
+        x = xp[:, :, 1 : 1 + w_real, :c_real]
+        x2 = xla_ln_mdta(x, ln1w, ln1b, wqkv, wdwa, wproj, temp, num_heads,
+                         bias_free=bias_free, eps=eps)
+        out = xla_ln_gdfn(x2, ln2w, ln2b, w1, wdwf, w2,
+                          bias_free=bias_free, eps=eps)
+        return jnp.pad(
+            out,
+            ((0, 0), (0, 0), (1, wp - 1 - w_real), (0, cp - c_real)),
+        )
+
+    _, vjp = jax.vjp(ref, *res)
+    return vjp(g.astype(res[0].dtype))
+
+
+_ln_block_p.defvjp(_ln_block_p_fwd, _ln_block_p_bwd)
+
+
+def block_fits(h, w, c, two_f, num_heads):
+    """True when the whole-block fused path (stats + tail) fits VMEM —
+    the precondition for ln_block / ln_block_p / the padded chain."""
+    from promptir_tpu.ops.pallas.block import _pick_th_tail
+
+    cp = _gdfn._lanes(c)
+    return (
+        _mdta._pick_th(h, w, cp) is not None
+        and not cp % num_heads
+        and _pick_th_tail(h, w, cp, two_f) is not None
+    )
+
+
+def ln_block_p(xp, w, c, ln1w, ln1b, wqkv, wdwa, wproj, temp, num_heads,
+               ln2w, ln2b, w1, wdwf, w2, *, bias_free=False, eps=1e-5,
+               interpret=False):
+    """Differentiable whole-block fusion in the padded layout (chain mode):
+    xp is (B,H,wp,cp) from block.py:pad_nhwc with zero pad columns/lanes,
+    and the padded layout is returned. None if no stripe fits VMEM."""
+    _, h, _, _ = xp.shape
+    if not block_fits(h, w, c, w1.shape[1], num_heads):
+        return None
+    ln1b = jnp.zeros_like(ln1w) if ln1b is None else ln1b
+    ln2b = jnp.zeros_like(ln2w) if ln2b is None else ln2b
+    return _ln_block_p(xp, ln1w, ln1b, wqkv, wdwa, wproj, temp, ln2w, ln2b,
+                       w1, wdwf, w2, num_heads, bias_free, eps, interpret,
+                       w, c)
+
+
 def ln_block(x, ln1w, ln1b, wqkv, wdwa, wproj, temp, num_heads,
              ln2w, ln2b, w1, wdwf, w2, *, bias_free=False, eps=1e-5,
              interpret=False):
     """Differentiable whole-TransformerBlock fusion (stats pass + fused
     MDTA-apply+LN+GDFN tail); None if either pass doesn't fit VMEM."""
-    from promptir_tpu.ops.pallas.block import _pick_th_tail
-
     _, h, w, c = x.shape
-    cp = _gdfn._lanes(c)
-    if (
-        _mdta._pick_th(h, w, cp) is None
-        or cp % num_heads
-        or _pick_th_tail(h, w, cp, w1.shape[1]) is None
-    ):
+    if not block_fits(h, w, c, w1.shape[1], num_heads):
         return None
     ln1b = jnp.zeros_like(ln1w) if ln1b is None else ln1b
     ln2b = jnp.zeros_like(ln2w) if ln2b is None else ln2b

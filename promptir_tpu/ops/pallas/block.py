@@ -50,10 +50,23 @@ def _pick_th_tail(h, w, cp, two_f, vmem_budget=None):
     return None
 
 
+def pad_nhwc(x: jnp.ndarray) -> jnp.ndarray:
+    """(B,H,W,C) -> the kernels' padded layout (B,H,wp,cp): one zero column
+    left, zero columns right up to wp = 8-aligned W+2, zero lanes to cp."""
+    _, _, w, c = x.shape
+    w_extra = (-(w + 2)) % 8
+    return jnp.pad(x, ((0, 0), (0, 0), (1, 1 + w_extra), (0, _lanes(c) - c)))
+
+
+def unpad_nhwc(xp: jnp.ndarray, w: int, c: int) -> jnp.ndarray:
+    """Inverse of pad_nhwc given the real (W, C)."""
+    return xp[:, :, 1 : 1 + w, :c]
+
+
 def _tail_kernel(vb_ref, xb_ref, v_hbm, x_hbm, attn_ref, wproj_ref,
                  lnw_ref, lnb_ref, w1_ref, wdw_ref, w2_ref, out_ref,
                  vhalo_ref, xhalo_ref, sem, *, th, w, wp, c_real,
-                 bias_free, eps):
+                 bias_free, eps, pad_out=False):
     cp = xb_ref.shape[-1]
     i = pl.program_id(1)
     bi = pl.program_id(0)
@@ -97,7 +110,21 @@ def _tail_kernel(vb_ref, xb_ref, v_hbm, x_hbm, attn_ref, wproj_ref,
         th=th, w=w, wp=wp, c_real=c_real, bias_free=bias_free, eps=eps,
     )
     residual = x2[1 : th + 1, 1 : w + 1, :]
-    out_ref[0] = (ffn + residual).astype(out_ref.dtype)
+    res = (ffn + residual).astype(out_ref.dtype)
+    if pad_out:
+        # chain mode: write the padded layout back (zero borders preserved
+        # for the next block's stats pass)
+        cp = res.shape[-1]
+        out_ref[0] = jnp.concatenate(
+            [
+                jnp.zeros((th, 1, cp), out_ref.dtype),
+                res,
+                jnp.zeros((th, wp - w - 1, cp), out_ref.dtype),
+            ],
+            axis=1,
+        )
+    else:
+        out_ref[0] = res
 
 
 def fused_block_tail(
@@ -114,25 +141,35 @@ def fused_block_tail(
     bias_free: bool = False,
     eps: float = 1e-5,
     interpret: bool = False,
+    prepadded: tuple | None = None,
+    padded_out: bool = False,
 ):
     """(x + attn-apply(v)) + GDFN(LN(...)) in one pass.
 
     v: (B,H,W,cp) and attn: (B,cp,cp) from `mdta.mdta_stats`; x: (B,H,W,C).
     Returns (B,H,W,C) in x.dtype, or None if no stripe fits VMEM.
+
+    `prepadded=(w, c)` declares x already in the padded layout (B,H,wp,cp)
+    with zero pad columns/lanes; `padded_out=True` keeps the output in that
+    layout too (chain mode — no per-block XLA pad/slice copies).
     """
-    b, h, w, c = x.shape
-    cp = _lanes(c)
+    if prepadded is None:
+        b, h, w, c = x.shape
+        cp = _lanes(c)
+        w_extra = (-(w + 2)) % 8
+        wp = w + 2 + w_extra
+        xp = jnp.pad(x, ((0, 0), (0, 0), (1, 1 + w_extra), (0, cp - c)))
+    else:
+        w, c = prepadded
+        b, h, wp, cp = x.shape
+        xp = x
     two_f = w1.shape[1]
     f = two_f // 2
     fpad = _lanes(f)
     th = _pick_th_tail(h, w, cp, two_f)
     if th is None:
         return None
-
-    w_extra = (-(w + 2)) % 8
-    wp = w + 2 + w_extra
     dtype = x.dtype
-    xp = jnp.pad(x, ((0, 0), (0, 0), (1, 1 + w_extra), (0, cp - c)))
     if ln_b is None:
         ln_b = jnp.zeros_like(ln_w)
 
@@ -154,8 +191,9 @@ def fused_block_tail(
 
     kern = functools.partial(
         _tail_kernel, th=th, w=w, wp=wp, c_real=c, bias_free=bias_free,
-        eps=eps,
+        eps=eps, pad_out=padded_out,
     )
+    out_w = wp if padded_out else w
     grid = (b, h // th)
     out = pl.pallas_call(
         kern,
@@ -192,10 +230,10 @@ def fused_block_tail(
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, th, w, cp), lambda bi, i: (bi, i, 0, 0),
+            (1, th, out_w, cp), lambda bi, i: (bi, i, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((b, h, w, cp), dtype),
+        out_shape=jax.ShapeDtypeStruct((b, h, out_w, cp), dtype),
         scratch_shapes=[
             pltpu.VMEM((2, w, cp), dtype),
             pltpu.VMEM((2, wp, cp), dtype),
@@ -209,6 +247,8 @@ def fused_block_tail(
     )(v, xp, v, xp, attn, wproj_p.astype(dtype), lnw_p.astype(dtype),
       lnb_p.astype(dtype), w1_p.astype(dtype), wdw_p.astype(dtype),
       w2_p.astype(dtype))
+    if padded_out:
+        return out
     return out[:, :, :, :c] if cp != c else out
 
 
@@ -239,4 +279,39 @@ def fused_transformer_block(
     return fused_block_tail(
         v, x, attn, w_proj, ln2_w, ln2_b, w1, wdw, w2,
         bias_free=bias_free, eps=eps, interpret=interpret,
+    )
+
+
+def fused_transformer_block_padded(
+    xp: jnp.ndarray,
+    w: int,
+    c: int,
+    ln1_w, ln1_b, w_qkv, w_dw, w_proj, temperature, num_heads,
+    ln2_w, ln2_b, w1, wdw, w2,
+    *,
+    bias_free: bool = False,
+    eps: float = 1e-5,
+    interpret: bool = False,
+):
+    """Full TransformerBlock in the padded layout: xp is (B,H,wp,cp) with
+    zero pad columns/lanes (pad_nhwc); returns the same layout. Chaining N
+    blocks this way pays ONE pad + ONE slice instead of one per block —
+    at 8x512^2x96 the per-block XLA pad copy alone is ~1.7 ms against a
+    ~25 ms block. Returns None (caller falls back) when no stripe fits.
+    """
+    _, h, _, cp = xp.shape
+    if _pick_th_tail(h, w, cp, w1.shape[1]) is None:
+        return None
+    stats = _mdta.mdta_stats(
+        xp, ln1_w, ln1_b, w_qkv, w_dw, temperature, num_heads,
+        bias_free=bias_free, eps=eps, interpret=interpret,
+        prepadded=(w, c),
+    )
+    if stats is None:
+        return None
+    v, attn = stats
+    return fused_block_tail(
+        v, xp, attn, w_proj, ln2_w, ln2_b, w1, wdw, w2,
+        bias_free=bias_free, eps=eps, interpret=interpret,
+        prepadded=(w, c), padded_out=True,
     )

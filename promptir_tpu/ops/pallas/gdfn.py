@@ -130,7 +130,11 @@ def border_mask(i, th, w, wp):
 
 def dwconv3x3_stripe(hidden, wdw_ref, th, w):
     """Depthwise 3x3 as 9 shifted multiply-adds (VPU), all fp32 (bf16
-    taps re-measured slower: no VPU rate advantage + conversion cost)."""
+    taps re-measured slower: no VPU rate advantage + conversion cost).
+    Hoisting the width-shifted slices (3 rotations instead of 9 unaligned
+    slices) also re-measured slower (23.2 vs 22.3 ms at 8x512^2x96) — the
+    taps are VPU-ALU-bound, not rotation-bound; Mosaic handles the slices
+    fine. Keep the straightforward form."""
     two_fp = hidden.shape[-1]
     acc = jnp.zeros((th, w, two_fp), jnp.float32)
     for di in range(3):

@@ -229,26 +229,36 @@ def mdta_stats(
     bias_free: bool = False,
     eps: float = 1e-5,
     interpret: bool = False,
+    prepadded: tuple | None = None,
 ):
     """Kernel A + the tiny host-side softmax: LN -> qkv -> dwconv, with v
-    streamed to HBM and the (C, C) block-diagonal attention matrix built
-    from the accumulated Gram statistics.
+    streamed to HBM and the (B, cp, cp) block-diagonal attention matrix
+    built from the accumulated Gram statistics.
 
     Returns (v, attn) with v: (B,H,W,cp) in x.dtype and attn: (B,cp,cp) in
     x.dtype — the inputs of the apply pass (kernel B or the fused block
     tail in ops/pallas/block.py) — or None if no stripe fits VMEM.
+
+    `prepadded=(w, c)` declares x already in the kernel's padded layout
+    (B, H, wp, cp) with zero pad columns/lanes (see block.py:pad_nhwc) —
+    the chain mode that spares the per-block XLA pad copy.
     """
-    b, h, w, c = x.shape
+    if prepadded is None:
+        b, h, w, c = x.shape
+        cp = _lanes(c)
+        w_extra = (-(w + 2)) % 8
+        wp = w + 2 + w_extra
+        xp = jnp.pad(x, ((0, 0), (0, 0), (1, 1 + w_extra), (0, cp - c)))
+    else:
+        w, c = prepadded
+        b, h, wp, cp = x.shape
+        xp = x
     d = c // num_heads
-    cp = _lanes(c)
     th = _pick_th(h, w, cp)
     if th is None or cp % num_heads:
         return None
     # padded per-head split must stay aligned: pad via whole-C padding and
     # head-block the attention matrix on the host side instead
-    w_extra = (-(w + 2)) % 8
-    wp = w + 2 + w_extra
-    xp = jnp.pad(x, ((0, 0), (0, 0), (1, 1 + w_extra), (0, cp - c)))
     if ln_b is None:
         ln_b = jnp.zeros_like(ln_w)
     dtype = x.dtype

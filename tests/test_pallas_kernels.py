@@ -293,3 +293,111 @@ def test_ln_block_grads_match_xla():
     for a, b in zip(jax.tree.leaves(gf), jax.tree.leaves(gr)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3,
                                    atol=2e-3)
+
+
+# ---- padded-layout chain mode (ops/pallas/block.py) ----
+
+
+def test_padded_chain_matches_unpadded():
+    """Chained padded-layout blocks == repeated unpadded fused blocks,
+    and the pad region stays exactly zero (the next block's invariant)."""
+    from promptir_tpu.ops.pallas.block import (
+        fused_transformer_block,
+        fused_transformer_block_padded,
+        pad_nhwc,
+        unpad_nhwc,
+    )
+
+    c, heads = 48, 2
+    wts = _block_weights(c, heads, seed=21)
+    x = jnp.asarray(
+        np.random.default_rng(22).normal(size=(2, 16, 24, c))
+        .astype(np.float32)
+    )
+    args = (
+        wts["ln1w"], wts["ln1b"], wts["wqkv"], wts["wdwa"], wts["wproj"],
+        wts["temp"], heads, wts["ln2w"], wts["ln2b"], wts["w1"],
+        wts["wdwf"], wts["w2"],
+    )
+    ref = x
+    xp = pad_nhwc(x)
+    for _ in range(2):
+        ref = fused_transformer_block(ref, *args, interpret=True)
+        xp = fused_transformer_block_padded(
+            xp, x.shape[2], c, *args, interpret=True
+        )
+    pad_mask = jnp.ones_like(xp).at[:, :, 1 : 1 + x.shape[2], :c].set(0)
+    assert float(jnp.max(jnp.abs(xp * pad_mask))) == 0.0
+    np.testing.assert_allclose(
+        np.asarray(unpad_nhwc(xp, x.shape[2], c)), np.asarray(ref),
+        rtol=1e-5, atol=1e-5,
+    )
+
+
+def test_ln_block_p_grads_match_unpadded():
+    from promptir_tpu.ops.pallas.autodiff import ln_block, ln_block_p
+    from promptir_tpu.ops.pallas.block import pad_nhwc, unpad_nhwc
+
+    c, heads = 48, 1
+    wts = _block_weights(c, heads, seed=23)
+    x = jnp.asarray(
+        np.random.default_rng(24).normal(size=(1, 8, 16, c))
+        .astype(np.float32)
+    )
+    keys = ["ln1w", "ln1b", "wqkv", "wdwa", "wproj", "temp"]
+    keys2 = ["ln2w", "ln2b", "w1", "wdwf", "w2"]
+
+    def loss_p(args):
+        x_, w = args
+        out = ln_block_p(
+            pad_nhwc(x_), x_.shape[2], c, *[w[k] for k in keys], heads,
+            *[w[k] for k in keys2], interpret=True,
+        )
+        return jnp.sum(jnp.square(unpad_nhwc(out, x_.shape[2], c)))
+
+    def loss_u(args):
+        x_, w = args
+        return jnp.sum(jnp.square(ln_block(
+            x_, *[w[k] for k in keys], heads, *[w[k] for k in keys2],
+            interpret=True,
+        )))
+
+    gp = jax.grad(loss_p)((x, wts))
+    gu = jax.grad(loss_u)((x, wts))
+    for a, b in zip(jax.tree.leaves(gp), jax.tree.leaves(gu)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-5)
+
+
+def test_promptir_fused_chain_matches_unfused():
+    """Full tiny PromptIR: fused_ffn (padded chains via apply_block_stack)
+    vs the plain XLA path on identical params."""
+    import functools
+
+    import promptir_tpu.ops.pallas.autodiff as ad
+    from promptir_tpu.models import create_model
+
+    kw = dict(num_blocks=(2, 1, 1, 1), num_refinement_blocks=2)
+    m_ref = create_model("promptir", **kw)
+    m_fused = create_model("promptir", **kw, fused_ffn=True)
+    x = jnp.asarray(
+        np.random.default_rng(25).uniform(size=(1, 32, 32, 3))
+        .astype(np.float32)
+    )
+    params = m_ref.init(jax.random.PRNGKey(3), x)
+    ref = m_ref.apply(params, x)
+
+    patched = {
+        n: functools.partial(getattr(ad, n), interpret=True)
+        for n in ("ln_gdfn", "ln_mdta", "ln_block", "ln_block_p")
+    }
+    orig = {n: getattr(ad, n) for n in patched}
+    for n, f in patched.items():
+        setattr(ad, n, f)
+    try:
+        out = m_fused.apply(params, x)
+    finally:
+        for n, f in orig.items():
+            setattr(ad, n, f)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=5e-4,
+                               atol=5e-4)

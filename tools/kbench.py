@@ -10,7 +10,9 @@ Usage:
   python tools/kbench.py --op mdta --shape 4 512 512 48 --ablate-gelu
 
 `--ablate-gelu` patches the in-kernel erf to identity to isolate the
-transcendental's share of runtime (gdfn only).
+transcendental's share of runtime (gdfn only). `--ablate-dw` replaces the
+9-tap depthwise conv with a single center tap to isolate the VPU tap cost
+(output is numerically wrong; timing only).
 """
 
 from __future__ import annotations
@@ -96,12 +98,24 @@ def main():
     p.add_argument("--inner", type=int, default=10)
     p.add_argument("--reps", type=int, default=3)
     p.add_argument("--ablate-gelu", action="store_true")
+    p.add_argument("--ablate-dw", action="store_true")
     args = p.parse_args()
 
     if args.ablate_gelu:
         import promptir_tpu.ops.pallas.gdfn as g
 
         g._erf = lambda x: x  # isolate the transcendental's cost
+
+    if args.ablate_dw:
+        import promptir_tpu.ops.pallas.gdfn as g
+
+        def _center_tap(hidden, wdw_ref, th, w):
+            # single center tap: isolates the 9-tap VPU cost (math wrong)
+            return hidden[1 : 1 + th, 1 : 1 + w, :] * wdw_ref[1, 1, :].astype(
+                jnp.float32
+            )
+
+        g.dwconv3x3_stripe = _center_tap
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     shape = tuple(args.shape)
