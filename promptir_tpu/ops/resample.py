@@ -10,10 +10,12 @@ so converted checkpoints line up exactly.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from promptir_tpu.ops.conv import Conv, Dense
+from promptir_tpu.utils.init import torch_kernel_init
 
 
 def pixel_unshuffle(x: jnp.ndarray, r: int = 2) -> jnp.ndarray:
@@ -35,16 +37,80 @@ def pixel_shuffle(x: jnp.ndarray, r: int = 2) -> jnp.ndarray:
     return x.reshape(b, h * r, w * r, c)
 
 
+def fold_unshuffle_kernel(w: jnp.ndarray) -> jnp.ndarray:
+    """(3,3,C,F) pad-1 conv kernel -> the (4,4,C,4F) stride-2 kernel whose
+    conv equals conv3x3(pad 1) followed by pixel_unshuffle(2).
+
+    out[i', j', f*4 + di*2 + dj] = conv3x3(x)[2i'+di, 2j'+dj, f], and the
+    strided window at (i', j') covers x rows 2i'-1..2i'+2, so tap (ky, kx)
+    of the original kernel lands at (ky+di, kx+dj) of the 4x4 kernel.
+    """
+    c, f = w.shape[2], w.shape[3]
+    k = jnp.zeros((4, 4, c, f, 2, 2), w.dtype)
+    for di in range(2):
+        for dj in range(2):
+            k = k.at[di : di + 3, dj : dj + 3, :, :, di, dj].set(w)
+    return k.reshape(4, 4, c, f * 4)
+
+
+def conv3x3_few_channels(x: jnp.ndarray, w: jnp.ndarray, dtype) -> jnp.ndarray:
+    """Stride-1 pad-1 3x3 conv computed as a 4x4 stride-2 conv to 4x the
+    output channels + pixel_shuffle.
+
+    For tiny C_out (PromptIR's 3-channel output conv), the direct conv
+    wastes nearly all MXU output lanes (3 of 128); folding the 2x2 output
+    phases into channels quarters the spatial extent and packs 4*C_out
+    lanes — identical math, ~2x fewer effective (lane-padded) MACs.
+    """
+    k = fold_unshuffle_kernel(w).astype(dtype)
+    y = jax.lax.conv_general_dilated(
+        x.astype(dtype), k,
+        window_strides=(2, 2), padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return pixel_shuffle(y, 2)
+
+
+class _Kernel(nn.Module):
+    """Declares a conv kernel param (path identical to a bias-less Conv)."""
+
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", torch_kernel_init, self.shape)
+
+
 class Downsample(nn.Module):
-    """3x3 conv C -> C/2 then 2x pixel-unshuffle (net: 2C channels at H/2)."""
+    """3x3 conv C -> C/2 then 2x pixel-unshuffle (net: 2C channels at H/2).
+
+    Parity: reference Downsample (/root/reference/net/model.py:160-169).
+    On TPU the C/2-channel intermediate wastes most MXU output lanes (24 of
+    128 at the full-resolution level) and the unshuffle is a transpose
+    round-trip, so when profitable the two ops run as ONE 4x4 stride-2 conv
+    producing the 2C channels directly — the kernel is rearranged from the
+    same (3,3,C,C/2) parameter (fold_unshuffle_kernel), mathematically
+    identical and checkpoint-compatible.
+    """
 
     n_feat: int
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        half = self.n_feat // 2
+        lanes = lambda n: -(-n // 128) * 128  # noqa: E731
+        # effective MXU cost per logical MAC: taps * lane-padding waste
+        if 16 * lanes(4 * half) / (4 * half) < 9 * lanes(half) / half:
+            w = _Kernel((3, 3, self.n_feat, half), name="body_0")()
+            k = fold_unshuffle_kernel(w).astype(self.dtype)
+            return jax.lax.conv_general_dilated(
+                x.astype(self.dtype), k,
+                window_strides=(2, 2), padding=((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
         x = Conv(
-            self.n_feat // 2,
+            half,
             (3, 3),
             padding=((1, 1), (1, 1)),
             use_bias=False,

@@ -99,6 +99,8 @@ def main():
     p.add_argument("--reps", type=int, default=3)
     p.add_argument("--ablate-gelu", action="store_true")
     p.add_argument("--ablate-dw", action="store_true")
+    p.add_argument("--dw-2acc", action="store_true")
+    p.add_argument("--ablate-halo", action="store_true")
     args = p.parse_args()
 
     if args.ablate_gelu:
@@ -116,6 +118,32 @@ def main():
             )
 
         g.dwconv3x3_stripe = _center_tap
+
+    if args.ablate_halo:
+        import promptir_tpu.ops.pallas.gdfn as g
+
+        def _no_halo(x_hbm, halo_ref, sem0, sem1, bi, i, th, h_total):
+            pass  # keep stale scratch rows: isolates the DMA latency cost
+
+        g.fetch_row_halos = _no_halo
+
+    if args.dw_2acc:
+        import promptir_tpu.ops.pallas.gdfn as g
+
+        def _two_acc(hidden, wdw_ref, th, w):
+            # split the 9-FMA dependency chain into two accumulators
+            accs = [None, None]
+            for n, (di, dj) in enumerate(
+                (di, dj) for di in range(3) for dj in range(3)
+            ):
+                t = hidden[di : di + th, dj : dj + w, :] * wdw_ref[
+                    di, dj, :
+                ].astype(jnp.float32)
+                k = n % 2
+                accs[k] = t if accs[k] is None else accs[k] + t
+            return accs[0] + accs[1]
+
+        g.dwconv3x3_stripe = _two_acc
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     shape = tuple(args.shape)
