@@ -44,7 +44,11 @@ from promptir_tpu.ops.embed import OverlapPatchEmbed
 from promptir_tpu.ops.gdfn import GDFN
 from promptir_tpu.ops.norm import RestormerLayerNorm
 from promptir_tpu.ops.prompt import PromptGenBlock
-from promptir_tpu.ops.resample import Downsample, Upsample
+from promptir_tpu.ops.resample import (
+    Downsample,
+    FewChannelConv3,
+    Upsample,
+)
 
 
 class CATransformerBlockV1(nn.Module):
@@ -353,9 +357,8 @@ class _CABase(nn.Module):
             )
         )
 
-        out = Conv(
-            self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
-            use_bias=self.use_bias, dtype=self.dtype, name="output",
+        out = FewChannelConv3(
+            self.out_channels, self.use_bias, self.dtype, name="output"
         )(x)
         out = (out + inp_img.astype(out.dtype)).astype(jnp.float32)
 

@@ -20,7 +20,11 @@ from promptir_tpu.ops.conv import Conv
 from promptir_tpu.ops.easy import EasyChannelTransformerBlock, EasyTransformerBlock
 from promptir_tpu.ops.embed import OverlapPatchEmbed
 from promptir_tpu.ops.prompt import PromptGenBlock
-from promptir_tpu.ops.resample import Downsample, Upsample
+from promptir_tpu.ops.resample import (
+    Downsample,
+    FewChannelConv3,
+    Upsample,
+)
 
 
 class EasyLayer(nn.Module):
@@ -123,9 +127,8 @@ class EasyPromptXRestormer(nn.Module):
         x = layer("decoder_level1", 2 * d, nb[0], 0)(x)
         x = layer("refinement", 2 * d, self.num_refinement_blocks, 0)(x)
 
-        out = Conv(
-            self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
-            use_bias=self.use_bias, dtype=self.dtype, name="output",
+        out = FewChannelConv3(
+            self.out_channels, self.use_bias, self.dtype, name="output"
         )(x)
         return (out + inp_img.astype(out.dtype)).astype(jnp.float32)
 

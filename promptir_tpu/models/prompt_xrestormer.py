@@ -112,7 +112,11 @@ class PromptXRestormer(XRestormer):
     @nn.compact
     def __call__(self, inp_img: jnp.ndarray) -> jnp.ndarray:
         from promptir_tpu.ops.embed import OverlapPatchEmbed
-        from promptir_tpu.ops.resample import Downsample, Upsample
+        from promptir_tpu.ops.resample import (
+            Downsample,
+            FewChannelConv3,
+            Upsample,
+        )
 
         d = self.dim
         nb = self.num_blocks
@@ -173,9 +177,8 @@ class PromptXRestormer(XRestormer):
         ):
             x = blk(x)
 
-        out = Conv(
-            self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
-            use_bias=self.use_bias, dtype=self.dtype, name="output",
+        out = FewChannelConv3(
+            self.out_channels, self.use_bias, self.dtype, name="output"
         )(x)
         return (out + inp_img.astype(out.dtype)).astype(jnp.float32)
 

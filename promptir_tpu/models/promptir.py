@@ -35,7 +35,11 @@ from promptir_tpu.models.blocks import (
 from promptir_tpu.ops.conv import Conv
 from promptir_tpu.ops.embed import OverlapPatchEmbed
 from promptir_tpu.ops.prompt import PromptGenBlock
-from promptir_tpu.ops.resample import Downsample, Upsample
+from promptir_tpu.ops.resample import (
+    Downsample,
+    FewChannelConv3,
+    Upsample,
+)
 
 
 class PromptIR(nn.Module):
@@ -184,18 +188,9 @@ class PromptIR(nn.Module):
         x = self._run("decoder_level1", nb[0], 2 * d, hs[0], x)
         x = self._run("refinement", self.num_refinement_blocks, 2 * d, hs[0], x)
 
-        if x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0 and not self.use_bias:
-            # 3-channel output conv via the folded stride-2 form (same
-            # param path/shape; ~2x fewer lane-padded MACs on the MXU)
-            from promptir_tpu.models.blocks import _ConvKernel
-            from promptir_tpu.ops.resample import conv3x3_few_channels
-
-            wout = _ConvKernel(
-                (3, 3, 2 * d, self.out_channels), name="output"
-            )()
-            out = conv3x3_few_channels(x, wout, self.dtype)
-        else:
-            out = conv(self.out_channels, 3, "output")(x)
+        out = FewChannelConv3(
+            self.out_channels, self.use_bias, self.dtype, name="output"
+        )(x)
         return (out + inp_img.astype(out.dtype)).astype(jnp.float32)
 
 

@@ -72,13 +72,13 @@ def _tail_kernel(vb_ref, xb_ref, v_hbm, x_hbm, attn_ref, wproj_ref,
     bi = pl.program_id(0)
     h_total = th * pl.num_programs(1)
 
-    _gdfn_mod.fetch_row_halos(x_hbm, xhalo_ref, sem.at[0], sem.at[1],
-                              bi, i, th, h_total)
-    _gdfn_mod.fetch_row_halos(v_hbm, vhalo_ref, sem.at[2], sem.at[3],
-                              bi, i, th, h_total)
+    xtop, xbot = _gdfn_mod.fetch_row_halos(x_hbm, xhalo_ref, sem.at[0],
+                                           bi, i, th, h_total)
+    vtop, vbot = _gdfn_mod.fetch_row_halos(v_hbm, vhalo_ref, sem.at[1],
+                                           bi, i, th, h_total)
 
-    xt = jnp.concatenate([xhalo_ref[0:1], xb_ref[0], xhalo_ref[1:2]], axis=0)
-    vt = jnp.concatenate([vhalo_ref[0:1], vb_ref[0], vhalo_ref[1:2]], axis=0)
+    xt = jnp.concatenate([xtop, xb_ref[0], xbot], axis=0)
+    vt = jnp.concatenate([vtop, vb_ref[0], vbot], axis=0)
 
     # ---- MDTA apply (the old kernel B) on th+2 rows ----
     av = jax.lax.dot_general(
@@ -235,12 +235,13 @@ def fused_block_tail(
         ),
         out_shape=jax.ShapeDtypeStruct((b, h, out_w, cp), dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, w, cp), dtype),
-            pltpu.VMEM((2, wp, cp), dtype),
-            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.VMEM((2, 2, w, cp), dtype),
+            pltpu.VMEM((2, 2, wp, cp), dtype),
+            pltpu.SemaphoreType.DMA((2, 2, 2)),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel"),
+            # stripes sequential so the pipelined halo prefetch is sound
+            dimension_semantics=("parallel", "arbitrary"),
             vmem_limit_bytes=_gdfn_mod.VMEM_LIMIT,
         ),
         interpret=interpret,

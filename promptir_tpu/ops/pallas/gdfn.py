@@ -81,23 +81,74 @@ def _erf(x):
     return s * (1.0 - poly * jnp.exp(-ax * ax))
 
 
-def fetch_row_halos(x_hbm, halo_ref, sem0, sem1, bi, i, th, h_total):
-    """DMA the row above and below the stripe into halo scratch.
-
-    Border rows are clamped — the caller's border mask zeroes them anyway.
-    """
+def _halo_copies(x_hbm, dst, sem, bi, i, th, h_total):
+    """The two async copies for program (bi, i)'s halo rows (border rows
+    clamped — the caller's border mask zeroes them anyway)."""
     top_row = jnp.maximum(i * th - 1, 0)
     bot_row = jnp.minimum(i * th + th, h_total - 1)
-    cp_top = pltpu.make_async_copy(
-        x_hbm.at[bi, pl.ds(top_row, 1), :, :], halo_ref.at[0:1], sem0
+    return (
+        pltpu.make_async_copy(
+            x_hbm.at[bi, pl.ds(top_row, 1), :, :], dst.at[0:1], sem.at[0]
+        ),
+        pltpu.make_async_copy(
+            x_hbm.at[bi, pl.ds(bot_row, 1), :, :], dst.at[1:2], sem.at[1]
+        ),
     )
-    cp_bot = pltpu.make_async_copy(
-        x_hbm.at[bi, pl.ds(bot_row, 1), :, :], halo_ref.at[1:2], sem1
-    )
-    cp_top.start()
-    cp_bot.start()
-    cp_top.wait()
-    cp_bot.wait()
+
+
+def fetch_row_halos(x_hbm, halo2_ref, sem2, bi, i, th, h_total):
+    """Halo rows for program (bi, i), software-pipelined: program i issues
+    the DMA for stripe i+1 before waiting on its own, so the ~2-3 us
+    per-transfer latency overlaps the previous program's compute (measured
+    ~1.3 ms of a 22 ms GDFN kernel call at 512 programs when synchronous).
+
+    halo2_ref: (2, 2, wp, cp) ping-pong scratch; sem2: DMA sems (2, 2).
+    Requires the stripe grid dim (1) to run sequentially within each bi
+    ('arbitrary' semantics); each bi column is self-contained (i == 0
+    fetches its own rows), so bi-dim ordering doesn't matter.
+    Returns (top, bot) rows, each (1, wp, cp).
+    """
+    num_i = pl.num_programs(1)
+    par = jax.lax.rem(i, 2)
+
+    @pl.when(i == 0)
+    def _():
+        for c in _halo_copies(
+            x_hbm, halo2_ref.at[0], sem2.at[0], bi, i, th, h_total
+        ):
+            c.start()
+
+    @pl.when((i + 1 < num_i) & (par == 0))
+    def _():
+        for c in _halo_copies(
+            x_hbm, halo2_ref.at[1], sem2.at[1], bi, i + 1, th, h_total
+        ):
+            c.start()
+
+    @pl.when((i + 1 < num_i) & (par == 1))
+    def _():
+        for c in _halo_copies(
+            x_hbm, halo2_ref.at[0], sem2.at[0], bi, i + 1, th, h_total
+        ):
+            c.start()
+
+    @pl.when(par == 0)
+    def _():
+        for c in _halo_copies(
+            x_hbm, halo2_ref.at[0], sem2.at[0], bi, i, th, h_total
+        ):
+            c.wait()
+
+    @pl.when(par == 1)
+    def _():
+        for c in _halo_copies(
+            x_hbm, halo2_ref.at[1], sem2.at[1], bi, i, th, h_total
+        ):
+            c.wait()
+
+    top = jnp.where(par == 0, halo2_ref[0, 0:1], halo2_ref[1, 0:1])
+    bot = jnp.where(par == 0, halo2_ref[0, 1:2], halo2_ref[1, 1:2])
+    return top, bot
 
 
 def ln_stripe(xf, lnw_ref, lnb_ref, c_real, bias_free, eps):
@@ -188,11 +239,11 @@ def _kernel(xb_ref, x_hbm, lnw_ref, lnb_ref, w1_ref, wdw_ref, w2_ref,
     bi = pl.program_id(0)
 
     # the bulk stripe arrives via the auto-pipelined blocked input; only
-    # the 2 halo rows are fetched manually (tiny, overlapped trivially)
-    fetch_row_halos(x_hbm, halo_ref, sem.at[0], sem.at[1], bi, i, th,
-                    th * pl.num_programs(1))
+    # the 2 halo rows are fetched manually (pipelined one program ahead)
+    top, bot = fetch_row_halos(x_hbm, halo_ref, sem, bi, i, th,
+                               th * pl.num_programs(1))
     xt = jnp.concatenate(
-        [halo_ref[0:1], xb_ref[0], halo_ref[1:2]], axis=0
+        [top, xb_ref[0], bot], axis=0
     )  # (th+2, wp, cp); channels >= c_real are zero
     xf = xt.astype(jnp.float32)
 
@@ -296,8 +347,8 @@ def fused_ln_gdfn(
         ),
         out_shape=jax.ShapeDtypeStruct((b, h, w, cp), dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, wp, cp), dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, 2, wp, cp), dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
         cost_estimate=pl.CostEstimate(
             flops=flops,

@@ -68,14 +68,12 @@ def _kernel_a(xb_ref, x_hbm, lnw_ref, lnb_ref, wqkv_ref, wdw_ref,
     i = pl.program_id(1)
     bi = pl.program_id(0)
 
-    # bulk stripe via the auto-pipelined blocked input; 2 halo rows by DMA
-    _gdfn_mod.fetch_row_halos(
-        x_hbm, halo_ref, sem.at[0], sem.at[1], bi, i, th,
-        th * pl.num_programs(1),
+    # bulk stripe via the auto-pipelined blocked input; 2 halo rows by
+    # pipelined DMA (prefetched one program ahead)
+    top, bot = _gdfn_mod.fetch_row_halos(
+        x_hbm, halo_ref, sem, bi, i, th, th * pl.num_programs(1)
     )
-    xt = jnp.concatenate(
-        [halo_ref[0:1], xb_ref[0], halo_ref[1:2]], axis=0
-    )
+    xt = jnp.concatenate([top, xb_ref[0], bot], axis=0)
     xf = xt.astype(jnp.float32)
     y = _gdfn_mod.ln_stripe(xf, lnw_ref, lnb_ref, c_real, bias_free, eps)
     # the dwconv zero-pads at global borders; x's zero pad produced nonzero
@@ -348,8 +346,8 @@ def mdta_stats(
             jax.ShapeDtypeStruct((b, 1, cp), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, wp, cp), dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, 2, wp, cp), dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
         compiler_params=pltpu.CompilerParams(
             # i accumulates S across stripes: must stay sequential

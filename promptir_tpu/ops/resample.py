@@ -81,6 +81,42 @@ class _Kernel(nn.Module):
         return self.param("kernel", torch_kernel_init, self.shape)
 
 
+class FewChannelConv3(nn.Module):
+    """3x3 pad-1 conv head with tiny C_out (the models' RGB output conv),
+    computed via the folded stride-2 form when the spatial dims are even.
+
+    A direct conv to 3 channels uses 3 of 128 MXU output lanes; the folded
+    form packs the 2x2 output phases into 4*C_out channels at half
+    resolution (~2x fewer lane-padded MACs), then pixel-shuffles back.
+    Param paths/init identical to `Conv(features, (3, 3))`.
+    """
+
+    features: int
+    use_bias: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cin = x.shape[-1]
+        w = self.param(
+            "kernel", torch_kernel_init, (3, 3, cin, self.features)
+        )
+        if x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+            y = conv3x3_few_channels(x, w, self.dtype)
+        else:
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), w.astype(self.dtype),
+                window_strides=(1, 1), padding=((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        if self.use_bias:
+            b = self.param(
+                "bias", nn.initializers.zeros, (self.features,)
+            )
+            y = y + b.astype(y.dtype)
+        return y
+
+
 class Downsample(nn.Module):
     """3x3 conv C -> C/2 then 2x pixel-unshuffle (net: 2C channels at H/2).
 

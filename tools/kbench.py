@@ -122,8 +122,9 @@ def main():
     if args.ablate_halo:
         import promptir_tpu.ops.pallas.gdfn as g
 
-        def _no_halo(x_hbm, halo_ref, sem0, sem1, bi, i, th, h_total):
-            pass  # keep stale scratch rows: isolates the DMA latency cost
+        def _no_halo(x_hbm, halo2_ref, sem2, bi, i, th, h_total):
+            # stale scratch rows: isolates the halo DMA latency cost
+            return halo2_ref[0, 0:1], halo2_ref[0, 1:2]
 
         g.fetch_row_halos = _no_halo
 
