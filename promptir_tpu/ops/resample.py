@@ -82,13 +82,14 @@ class _Kernel(nn.Module):
 
 
 class FewChannelConv3(nn.Module):
-    """3x3 pad-1 conv head with tiny C_out (the models' RGB output conv),
-    computed via the folded stride-2 form when the spatial dims are even.
-
-    A direct conv to 3 channels uses 3 of 128 MXU output lanes; the folded
-    form packs the 2x2 output phases into 4*C_out channels at half
-    resolution (~2x fewer lane-padded MACs), then pixel-shuffles back.
+    """3x3 pad-1 conv head with tiny C_out (the models' RGB output conv).
     Param paths/init identical to `Conv(features, (3, 3))`.
+
+    The folded stride-2 form (conv3x3_few_channels) was profiled for this
+    head and measured SLOWER than the direct conv on v5e (3.6 vs 3.2 ms at
+    8x512^2x96->3: XLA's strided-conv emitter loses more than the 2x
+    lane-padding saving), so this runs the direct form — kept as a module
+    so the head stays a single swap point if that tradeoff changes.
     """
 
     features: int
@@ -101,14 +102,11 @@ class FewChannelConv3(nn.Module):
         w = self.param(
             "kernel", torch_kernel_init, (3, 3, cin, self.features)
         )
-        if x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
-            y = conv3x3_few_channels(x, w, self.dtype)
-        else:
-            y = jax.lax.conv_general_dilated(
-                x.astype(self.dtype), w.astype(self.dtype),
-                window_strides=(1, 1), padding=((1, 1), (1, 1)),
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            )
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), w.astype(self.dtype),
+            window_strides=(1, 1), padding=((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
         if self.use_bias:
             b = self.param(
                 "bias", nn.initializers.zeros, (self.features,)
