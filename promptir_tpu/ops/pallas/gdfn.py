@@ -68,17 +68,28 @@ def _pick_th(h: int, w: int, c: int, two_f: int, vmem_budget=None):
 
 
 def _erf(x):
-    """Abramowitz & Stegun 7.1.26 erf (max abs err 1.5e-7): Mosaic has no
-    erf/erfc primitive, and the error is far below bf16 resolution."""
-    a1, a2, a3, a4, a5 = (
-        0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429
+    """Rational P4(t)/Q3(t) minimax erf on |x| <= 4.2 (t = x^2; max abs
+    err 4.0e-6 in fp32 Horner, clamp-only — erf(4.2) is within 3e-9 of
+    saturation, so no branch/select is needed for the tails).
+
+    Mosaic has no erf primitive, and v5e has no bf16 comparison, so the
+    tails are handled by the fp32 clamp alone (no jnp.where / sign).
+    Q's roots are all at t < 0: no poles on the clamped range. The 4e-6
+    error is far below the 2e-5 kernel parity tolerance. (The exp-based
+    A&S 7.1.26 form measured the same speed as a same-width rational —
+    op-pass count is what matters on this VPU, not transcendental cost.)"""
+    p0, p1, p2, p3, p4 = (
+        1.1284071030975196, 0.16202105529524835, 0.048114942079628055,
+        0.0011439347156276083, -5.216197331668721e-06,
     )
-    p = 0.3275911
-    s = jnp.sign(x)
-    ax = jnp.abs(x)
-    t = 1.0 / (1.0 + p * ax)
-    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
-    return s * (1.0 - poly * jnp.exp(-ax * ax))
+    q1, q2, q3 = (
+        0.47714287679192297, 0.10112276101874638, 0.011476074450298614,
+    )
+    u = jnp.clip(x.astype(jnp.float32), -4.2, 4.2).astype(x.dtype)
+    t = u * u
+    num = ((((p4 * t + p3) * t + p2) * t + p1) * t) + p0
+    den = ((q3 * t + q2) * t + q1) * t + 1.0
+    return u * (num / den)
 
 
 def _halo_copies(x_hbm, dst, sem, bi, i, th, h_total):
@@ -180,12 +191,15 @@ def border_mask(i, th, w, wp):
 
 
 def dwconv3x3_stripe(hidden, wdw_ref, th, w):
-    """Depthwise 3x3 as 9 shifted multiply-adds (VPU), all fp32 (bf16
-    taps re-measured slower: no VPU rate advantage + conversion cost).
-    Hoisting the width-shifted slices (3 rotations instead of 9 unaligned
-    slices) also re-measured slower (23.2 vs 22.3 ms at 8x512^2x96) — the
-    taps are VPU-ALU-bound, not rotation-bound; Mosaic handles the slices
-    fine. Keep the straightforward form."""
+    """Depthwise 3x3 as 9 shifted multiply-adds (VPU), all fp32.
+
+    Every cheaper-looking variant re-measured no faster at 8x512^2x96:
+    bf16 taps 25.7 vs 21.4 ms (v5e has no packed-bf16 ALU — each bf16 op
+    unpacks/repacks around fp32), hoisted width-shifts 23.2 vs 22.3 (the
+    slices aren't rotation-bound), split accumulators 22.6 vs 22.3 (no
+    dependency-chain stall). One elementwise pass over an 8-image
+    512-row 256-lane fp32 stripe costs ~0.4 ms whatever the op — pass
+    COUNT is the only lever, so keep the straightforward 9-FMA form."""
     two_fp = hidden.shape[-1]
     acc = jnp.zeros((th, w, two_fp), jnp.float32)
     for di in range(3):
@@ -210,8 +224,11 @@ def ln_gdfn_stripe(xf, i, lnw_ref, lnb_ref, w1_ref, wdw_ref, w2_ref,
     # (2F lanes) after: equivalent by linearity, half the select work
     y = jnp.where(border_mask(i, th, w, wp), 0, y).astype(io_dtype)
 
-    # 1x1 expansion on the MXU (padded dims; zero rows keep padding inert);
-    # hidden stays fp32 so the 9 dwconv taps need no per-tap conversion
+    # 1x1 expansion on the MXU (padded dims; zero rows keep padding inert).
+    # The elementwise section (taps, gelu, gate) stays fp32 even for bf16
+    # io: v5e's VPU has no packed-bf16 ALU, so bf16 elementwise re-measured
+    # 20% SLOWER (25.7 vs 21.4 ms at 8x512^2x96) despite halving VMEM
+    # traffic — every bf16 op unpacks/repacks around an fp32 ALU.
     hidden = jax.lax.dot_general(
         y.reshape(-1, cp), w1_ref[:],
         dimension_numbers=(((1,), (0,)), ((), ())),
@@ -223,7 +240,7 @@ def ln_gdfn_stripe(xf, i, lnw_ref, lnb_ref, w1_ref, wdw_ref, w2_ref,
     x1 = acc[:, :, :fp]
     x2 = acc[:, :, fp:]
     # exact (erf) gelu — erf approximated in-kernel (no Mosaic primitive)
-    gelu = 0.5 * x1 * (1.0 + _erf(x1 * 0.7071067811865476))
+    gelu = x1 * (0.5 + 0.5 * _erf(x1 * 0.7071067811865476))
     gated = (gelu * x2).astype(io_dtype)
 
     return jax.lax.dot_general(

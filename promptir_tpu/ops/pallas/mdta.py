@@ -102,7 +102,9 @@ def _kernel_a(xb_ref, x_hbm, lnw_ref, lnb_ref, wqkv_ref, wdw_ref,
             sb, sb, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        ssq_q = jnp.sum(jnp.square(slab), axis=0, keepdims=True)
+        ssq_q = jnp.sum(
+            jnp.square(slab.astype(jnp.float32)), axis=0, keepdims=True
+        )
         ssq_k = jnp.zeros_like(ssqk_ref[0])
     else:
         q = acc[:, :, :cp].reshape(-1, cp)
@@ -117,8 +119,12 @@ def _kernel_a(xb_ref, x_hbm, lnw_ref, lnb_ref, wqkv_ref, wdw_ref,
             qb, kb, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        ssq_q = jnp.sum(jnp.square(q), axis=0, keepdims=True)
-        ssq_k = jnp.sum(jnp.square(k), axis=0, keepdims=True)
+        ssq_q = jnp.sum(
+            jnp.square(q.astype(jnp.float32)), axis=0, keepdims=True
+        )
+        ssq_k = jnp.sum(
+            jnp.square(k.astype(jnp.float32)), axis=0, keepdims=True
+        )
 
     @pl.when(i == 0)
     def _():
