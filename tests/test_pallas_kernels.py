@@ -48,6 +48,26 @@ def test_fused_ln_gdfn_matches_reference():
                                atol=2e-5)
 
 
+def test_fused_ln_gdfn_odd_stripes_and_batch():
+    """Odd stripe count + odd batch exercises the pipelined halo fetch's
+    ping-pong slot transitions, including the cross-image boundary where
+    the next column must self-fetch (gdfn.fetch_row_halos)."""
+    c = 48
+    f = int(c * 2.66)
+    lnw, lnb, w1, wdw, w2 = _weights(c, f, seed=7)
+    # h=40: th=8 -> 5 stripes (odd); b=3 -> cross-bi at both parities
+    x = jnp.asarray(
+        np.random.default_rng(8).normal(size=(3, 40, 24, c)).astype(np.float32)
+    )
+    from promptir_tpu.ops.pallas import gdfn as g
+
+    assert g._pick_th(40, 24, 128, 2 * g._lanes(f)) == 8
+    ref = reference_ln_gdfn(x, lnw, lnb, w1, wdw, w2)
+    out = fused_ln_gdfn(x, lnw, lnb, w1, wdw, w2, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5,
+                               atol=2e-5)
+
+
 def test_fused_ln_gdfn_bias_free():
     c = 48
     f = int(c * 2.66)
