@@ -87,8 +87,8 @@ def main():
 
         return jax.lax.scan(body, state, None, length=n)
 
-    # warmup / compile
-    state, losses = chain(state, batch, 1)
+    # warmup / compile (same scan length as the timed runs -> one program)
+    state, losses = chain(state, batch, args.inner)
     float(jnp.sum(losses))
     times = []
     for _ in range(args.reps):
