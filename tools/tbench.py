@@ -6,9 +6,13 @@ training recipe's patch size (128^2, /root/reference/options.py:13), the
 workload the reference runs as 4-GPU Lightning DDP at batch 6/GPU
 (/root/reference/train.py:334-341).
 
-Iterations are chained inside one jit (same fencing rationale as
-kbench.py: the axon relay's block_until_ready can return early, so the
-measurement is fenced by fetching a dependent scalar).
+Iterations are chained inside one jit and ONLY the per-step losses are
+returned: returning the updated TrainState would round-trip the full
+parameter+optimizer pytree (~1.3 GB for promptir) through the axon
+relay every call, which measures the relay, not the chip (observed 16 s
+"steps" whose device time was 0.5 s). Fencing rationale as kbench.py:
+block_until_ready can return early through the relay, so the measurement
+is fenced by fetching a dependent scalar.
 
 Usage:
   python tools/tbench.py --batch 32 --size 128 --dtype bfloat16
@@ -65,7 +69,8 @@ def main():
             jnp.zeros((1, args.size, args.size, 3)),
         )
     )()
-    step = jit_train_step(make_train_step(model), mesh)
+    step = make_train_step(model)
+    del mesh  # single-chip bench; jit_train_step(step, mesh) for real runs
 
     rng = np.random.default_rng(0)
     batch = {
@@ -80,20 +85,24 @@ def main():
         "de_type": jnp.zeros((args.batch,), jnp.int32),
     }
 
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=(2,))
     def chain(state, batch, n):
         def body(s, _):
             s, m = step(s, batch)
             return s, m["train_loss"]
 
-        return jax.lax.scan(body, state, None, length=n)
+        _, losses = jax.lax.scan(body, state, None, length=n)
+        return losses  # state stays on device; see module docstring
 
     # warmup / compile (same scan length as the timed runs -> one program)
-    state, losses = chain(state, batch, args.inner)
+    losses = chain(state, batch, args.inner)
     float(jnp.sum(losses))
     times = []
     for _ in range(args.reps):
         t0 = time.perf_counter()
-        state, losses = chain(state, batch, args.inner)
+        losses = chain(state, batch, args.inner)
         float(jnp.sum(losses))
         times.append((time.perf_counter() - t0) / args.inner)
     sec = min(times)
