@@ -4,7 +4,8 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "MP/s", "vs_baseline": N}
 
 Measures steady-state megapixels/sec/chip of full-depth PromptIR
-(decoder=True, 35.59M params, bfloat16 compute) restoring 512x512 inputs —
+(decoder=True, 35.59M params, bfloat16 compute) restoring 512x512 inputs
+(batch 16 — measured +2% over batch 8; per-call overheads amortize) —
 the workload class the reference handles with serial batch-1 128px tiling
 on GPU (/root/reference/demo.py:26-48).
 
@@ -31,7 +32,7 @@ import numpy as np
 
 A100_REF_MPS = 7.3
 SIZE = 512
-BATCH = 8
+BATCH = 16
 WARMUP = 2
 ITERS = 8
 
