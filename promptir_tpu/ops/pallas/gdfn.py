@@ -118,6 +118,10 @@ def fetch_row_halos(x_hbm, halo2_ref, sem2, bi, i, th, h_total):
     ('arbitrary' semantics); each bi column is self-contained (i == 0
     fetches its own rows), so bi-dim ordering doesn't matter.
     Returns (top, bot) rows, each (1, wp, cp).
+
+    The final select reads BOTH slots and discards the one whose DMA may
+    still be in flight (the just-issued prefetch) — a benign race: the
+    racing lanes never reach the output, and VMEM reads don't fault.
     """
     num_i = pl.num_programs(1)
     par = jax.lax.rem(i, 2)
