@@ -162,6 +162,9 @@ def fused_block_tail(
     else:
         w, c = prepadded
         b, h, wp, cp = x.shape
+        assert cp == _lanes(c) and wp == w + 2 + ((-(w + 2)) % 8), (
+            "prepadded x must be in pad_nhwc layout"
+        )
         xp = x
     two_f = w1.shape[1]
     f = two_f // 2

@@ -256,6 +256,9 @@ def mdta_stats(
     else:
         w, c = prepadded
         b, h, wp, cp = x.shape
+        assert cp == _lanes(c) and wp == w + 2 + ((-(w + 2)) % 8), (
+            "prepadded x must be in block.py:pad_nhwc layout"
+        )
         xp = x
     d = c // num_heads
     th = _pick_th(h, w, cp)

@@ -57,6 +57,32 @@ def test_downsample(golden):
     run(Downsample(48), golden("downsample"))
 
 
+def test_downsample_fold_matches_direct():
+    """The shuffle-folded stride-2 form (applied at C=48/96) must equal the
+    direct conv3x3 + pixel_unshuffle on the same parameter, and C=384 must
+    keep the direct path — both sides of the lane-cost heuristic."""
+    import jax
+
+    from promptir_tpu.ops.resample import pixel_unshuffle
+
+    for n_feat in (48, 96, 384):
+        m = Downsample(n_feat)
+        x = jnp.asarray(
+            np.random.default_rng(n_feat)
+            .normal(size=(2, 8, 16, n_feat)).astype(np.float32)
+        )
+        p = m.init(jax.random.PRNGKey(0), x)
+        out = m.apply(p, x)
+        w = p["params"]["body_0"]["kernel"]
+        ref = jax.lax.conv_general_dilated(
+            x, w, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        ref = pixel_unshuffle(ref, 2)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+
 def test_upsample(golden):
     run(Upsample(48), golden("upsample"))
 
