@@ -32,7 +32,11 @@ from promptir_tpu.ops.pallas import mdta as _mdta
 
 
 def _pick_th_tail(h, w, cp, two_f, vmem_budget=None):
-    """Largest stripe height for the tail kernel's working set."""
+    """Largest stripe height for the tail kernel's working set.
+
+    Keep the default 44 MB budget: raising it to 64 MB (th=8 -> 16 at
+    8x512^2x96) re-measured SLOWER (31.5 vs 28.8 ms whole-block) — the
+    bigger working set starves the auto-pipeline's double buffering."""
     vmem_budget = _gdfn_mod.VMEM_BUDGET if vmem_budget is None else vmem_budget
     two_fp = _lanes(two_f)
     wp = w + 2 + ((-(w + 2)) % 8)

@@ -66,6 +66,29 @@ def build_mdta(shape, dtype, heads=1):
     return op, flops
 
 
+def build_stats(shape, dtype, heads=1):
+    """MDTA stats pass alone (kernel A + host softmax): returns v summed
+    with attn so the scan carries a chainable array."""
+    from promptir_tpu.ops.pallas.mdta import mdta_stats
+
+    b, h, w, c = shape
+    rng = np.random.default_rng(0)
+    lnw = jnp.asarray(rng.normal(size=(c,)).astype(np.float32) * 0.02 + 1)
+    lnb = jnp.asarray(rng.normal(size=(c,)).astype(np.float32) * 0.02)
+    wqkv = jnp.asarray(rng.normal(size=(c, 3 * c)).astype(np.float32) * 0.02)
+    wdw = jnp.asarray(rng.normal(size=(3, 3, 3 * c)).astype(np.float32) * 0.1)
+    temp = jnp.ones((heads,), jnp.float32)
+
+    def op(x):
+        v, attn = mdta_stats(x, lnw, lnb, wqkv, wdw, temp, heads)
+        # fold attn into v so the chained iteration depends on both outputs
+        return (v + attn[:, None, :1, :]).astype(x.dtype)[:, :, :, : x.shape[-1]]
+
+    n = b * h * w
+    flops = 2 * n * (c * 3 * c) + 18 * n * 3 * c + 2 * n * 2 * c
+    return op, flops
+
+
 def build_block(shape, dtype, heads=1):
     from promptir_tpu.ops.pallas.block import fused_transformer_block
 
@@ -91,7 +114,9 @@ def build_block(shape, dtype, heads=1):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--op", choices=["gdfn", "mdta", "block"], default="gdfn")
+    p.add_argument(
+        "--op", choices=["gdfn", "mdta", "block", "stats"], default="gdfn"
+    )
     p.add_argument("--shape", type=int, nargs=4, default=[4, 512, 512, 48])
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--heads", type=int, default=1)
@@ -152,6 +177,8 @@ def main():
         op, flops = build_gdfn(shape, dtype)
     elif args.op == "block":
         op, flops = build_block(shape, dtype, args.heads)
+    elif args.op == "stats":
+        op, flops = build_stats(shape, dtype, args.heads)
     else:
         op, flops = build_mdta(shape, dtype, args.heads)
 
