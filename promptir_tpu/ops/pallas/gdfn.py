@@ -182,15 +182,21 @@ def ln_stripe(xf, lnw_ref, lnb_ref, c_real, bias_free, eps):
     ].astype(jnp.float32)
 
 
-def border_mask(i, th, w, wp):
+def border_mask(i, th, w, wp, num_i=None):
     """True where a stripe row/col lies outside the image (the dwconv
     zero-pads there, but x's zero padding comes out of LN nonzero).
-    Masks are built 3-D: Mosaic can't reshape 2-D i1 vectors."""
+    Masks are built 3-D: Mosaic can't reshape 2-D i1 vectors.
+
+    `i` is the stripe index of the window being masked and `num_i` the
+    stripe count — defaults to this program's grid position (the common
+    case); the merged tail+stats kernel masks a SHIFTED stripe."""
+    if num_i is None:
+        num_i = pl.num_programs(1)
     rows = jax.lax.broadcasted_iota(jnp.int32, (th + 2, wp, 1), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (th + 2, wp, 1), 1)
     invalid = (cols == 0) | (cols >= w + 1)
     invalid = invalid | ((rows == 0) & (i == 0))
-    invalid = invalid | ((rows == th + 1) & (i == pl.num_programs(1) - 1))
+    invalid = invalid | ((rows == th + 1) & (i == num_i - 1))
     return invalid
 
 
@@ -215,18 +221,20 @@ def dwconv3x3_stripe(hidden, wdw_ref, th, w):
 
 
 def ln_gdfn_stripe(xf, i, lnw_ref, lnb_ref, w1_ref, wdw_ref, w2_ref,
-                   io_dtype, *, th, w, wp, c_real, bias_free, eps):
+                   io_dtype, *, th, w, wp, c_real, bias_free, eps,
+                   num_i=None):
     """GDFN(LN(stripe)) — the body shared by the standalone LN+GDFN kernel
     and the fused block tail (ops/pallas/block.py). xf: (th+2, wp, cp)
     fp32 with zero-padded channels; returns (th, w, cp) fp32 (no residual).
-    """
+    `num_i` overrides the stripe count for the border mask when the grid
+    has extra programs (ops/pallas/megablock.py)."""
     cp = xf.shape[-1]
     two_fp = w1_ref.shape[-1]
     fp = two_fp // 2
     y = ln_stripe(xf, lnw_ref, lnb_ref, c_real, bias_free, eps)
     # mask y (cp lanes) before the linear expansion instead of hidden
     # (2F lanes) after: equivalent by linearity, half the select work
-    y = jnp.where(border_mask(i, th, w, wp), 0, y).astype(io_dtype)
+    y = jnp.where(border_mask(i, th, w, wp, num_i), 0, y).astype(io_dtype)
 
     # 1x1 expansion on the MXU (padded dims; zero rows keep padding inert).
     # The elementwise section (taps, gelu, gate) stays fp32 even for bf16

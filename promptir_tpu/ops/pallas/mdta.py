@@ -53,6 +53,62 @@ def _pick_th(h: int, w: int, cp: int, vmem_budget=None):
     return None
 
 
+def stats_stripe(xf, j, lnw_ref, lnb_ref, wqkv_ref, wdw_ref, io_dtype,
+                 *, th, w, wp, c_real, cp, bias_free, eps, qkp, num_j=None):
+    """The stats compute for ONE (th+2, wp, cp) fp32 window of stripe j:
+    LN -> border-masked qkv matmul -> depthwise taps -> split into
+    (v, s_qk, ssq_q, ssq_k) partial statistics (NOT yet accumulated across
+    stripes). Shared by kernel A and the merged tail+stats kernel
+    (ops/pallas/megablock.py), whose window index j is shifted relative to
+    its grid position."""
+    y = _gdfn_mod.ln_stripe(xf, lnw_ref, lnb_ref, c_real, bias_free, eps)
+    # the dwconv zero-pads at global borders; x's zero pad produced nonzero
+    # LN output in halo lines — mask y (cp lanes) before the linear qkv
+    # matmul instead of qkv (3cp lanes) after: equivalent, cheaper select
+    y = jnp.where(
+        _gdfn_mod.border_mask(j, th, w, wp, num_j), 0, y
+    ).astype(io_dtype)
+
+    qkv = jax.lax.dot_general(
+        y.reshape(-1, cp), wqkv_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(th + 2, wp, wqkv_ref.shape[-1])
+
+    acc = _gdfn_mod.dwconv3x3_stripe(qkv, wdw_ref, th, w)
+
+    if qkp:
+        slab = acc[:, :, :qkp].reshape(-1, qkp)
+        v = acc[:, :, qkp:]
+        sb = slab.astype(jnp.bfloat16)
+        # Gram matrix: [0:c, c:2c] block is q^T k
+        s_qk = jax.lax.dot_general(
+            sb, sb, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ssq_q = jnp.sum(
+            jnp.square(slab.astype(jnp.float32)), axis=0, keepdims=True
+        )
+        ssq_k = jnp.zeros((1, cp), jnp.float32)
+    else:
+        q = acc[:, :, :cp].reshape(-1, cp)
+        k = acc[:, :, cp : 2 * cp].reshape(-1, cp)
+        v = acc[:, :, 2 * cp :]
+        qb = q.astype(jnp.bfloat16)
+        kb = k.astype(jnp.bfloat16)
+        s_qk = jax.lax.dot_general(
+            qb, kb, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ssq_q = jnp.sum(
+            jnp.square(q.astype(jnp.float32)), axis=0, keepdims=True
+        )
+        ssq_k = jnp.sum(
+            jnp.square(k.astype(jnp.float32)), axis=0, keepdims=True
+        )
+    return v.astype(io_dtype), s_qk, ssq_q, ssq_k
+
+
 def _kernel_a(xb_ref, x_hbm, lnw_ref, lnb_ref, wqkv_ref, wdw_ref,
               v_ref, sqk_ref, ssqq_ref, ssqk_ref, halo_ref, sem,
               *, th, w, wp, c_real, cp, bias_free, eps, qkp=0):
@@ -74,57 +130,12 @@ def _kernel_a(xb_ref, x_hbm, lnw_ref, lnb_ref, wqkv_ref, wdw_ref,
         x_hbm, halo_ref, sem, bi, i, th, th * pl.num_programs(1)
     )
     xt = jnp.concatenate([top, xb_ref[0], bot], axis=0)
-    xf = xt.astype(jnp.float32)
-    y = _gdfn_mod.ln_stripe(xf, lnw_ref, lnb_ref, c_real, bias_free, eps)
-    # the dwconv zero-pads at global borders; x's zero pad produced nonzero
-    # LN output in halo lines — mask y (cp lanes) before the linear qkv
-    # matmul instead of qkv (3cp lanes) after: equivalent, cheaper select
-    y = jnp.where(
-        _gdfn_mod.border_mask(i, th, w, wp), 0, y
-    ).astype(xt.dtype)
-
-    width = wqkv_ref.shape[-1]  # 3*cp, or qkp+cp when packed
-    qkv = jax.lax.dot_general(
-        y.reshape(-1, cp), wqkv_ref[:],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).reshape(th + 2, wp, width)
-
-    acc = _gdfn_mod.dwconv3x3_stripe(qkv, wdw_ref, th, w)
-
-    if qkp:
-        slab = acc[:, :, :qkp].reshape(-1, qkp)
-        v = acc[:, :, qkp:]
-        v_ref[0] = v.astype(v_ref.dtype)
-        sb = slab.astype(jnp.bfloat16)
-        # Gram matrix: [0:c, c:2c] block is q^T k
-        s_qk = jax.lax.dot_general(
-            sb, sb, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        ssq_q = jnp.sum(
-            jnp.square(slab.astype(jnp.float32)), axis=0, keepdims=True
-        )
-        ssq_k = jnp.zeros_like(ssqk_ref[0])
-    else:
-        q = acc[:, :, :cp].reshape(-1, cp)
-        k = acc[:, :, cp : 2 * cp].reshape(-1, cp)
-        v = acc[:, :, 2 * cp :]
-
-        v_ref[0] = v.astype(v_ref.dtype)
-
-        qb = q.astype(jnp.bfloat16)
-        kb = k.astype(jnp.bfloat16)
-        s_qk = jax.lax.dot_general(
-            qb, kb, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        ssq_q = jnp.sum(
-            jnp.square(q.astype(jnp.float32)), axis=0, keepdims=True
-        )
-        ssq_k = jnp.sum(
-            jnp.square(k.astype(jnp.float32)), axis=0, keepdims=True
-        )
+    v, s_qk, ssq_q, ssq_k = stats_stripe(
+        xt.astype(jnp.float32), i, lnw_ref, lnb_ref, wqkv_ref, wdw_ref,
+        xt.dtype, th=th, w=w, wp=wp, c_real=c_real, cp=cp,
+        bias_free=bias_free, eps=eps, qkp=qkp,
+    )
+    v_ref[0] = v.astype(v_ref.dtype)
 
     @pl.when(i == 0)
     def _():
@@ -137,6 +148,70 @@ def _kernel_a(xb_ref, x_hbm, lnw_ref, lnb_ref, wqkv_ref, wdw_ref,
         sqk_ref[0] += s_qk
         ssqq_ref[0] += ssq_q
         ssqk_ref[0] += ssq_k
+
+
+def prep_stats_weights(ln_w, ln_b, w_qkv, w_dw, c, cp):
+    """Pad the stats-pass weights into the kernel layout: LN params to cp
+    lanes; qkv/dw either three cp-padded slabs, or the packed-qk layout
+    [q: c | k: c | zero-pad to qkp | v: pad to cp] whenever that shrinks
+    the depthwise-tap lane count (C=48: 384 -> 256 lanes). Returns
+    (lnw_p, lnb_p, wqkv_p, wdw_p, qkp) with qkp == 0 meaning unpacked."""
+
+    def padc(a, axis):
+        cfg = [(0, 0)] * a.ndim
+        cfg[axis] = (0, cp - c)
+        return jnp.pad(a, cfg)
+
+    lnw_p = padc(ln_w, 0)
+    lnb_p = padc(ln_b, 0)
+    wq, wk, wv = jnp.split(w_qkv, 3, axis=1)
+    dq, dk, dv = jnp.split(w_dw, 3, axis=2)
+    qkp = _lanes(2 * c) if _lanes(2 * c) < 2 * cp else 0
+    if qkp:
+        wqkv_p = jnp.concatenate(
+            [
+                padc(wq, 0),
+                padc(wk, 0),
+                jnp.zeros((cp, qkp - 2 * c), w_qkv.dtype),
+                padc(padc(wv, 0), 1),
+            ],
+            axis=1,
+        )
+        wdw_p = jnp.concatenate(
+            [dq, dk, jnp.zeros((3, 3, qkp - 2 * c), w_dw.dtype),
+             padc(dv, 2)],
+            axis=2,
+        )
+    else:
+        wqkv_p = jnp.concatenate(
+            [padc(padc(t, 0), 1) for t in (wq, wk, wv)], axis=1
+        )
+        wdw_p = jnp.concatenate([padc(t, 2) for t in (dq, dk, dv)], axis=2)
+    return lnw_p, lnb_p, wqkv_p, wdw_p, qkp
+
+
+def attn_from_stats(s_qk, ssq_q, ssq_k, temperature, c, cp, num_heads, qkp):
+    """The tiny host-side step: accumulated Gram statistics -> (B, cp, cp)
+    block-diagonal attention matrix (normalize, temperature, per-head
+    block mask, softmax)."""
+    b = s_qk.shape[0]
+    d = c // num_heads
+    if qkp:
+        nq = jnp.sqrt(jnp.maximum(ssq_q[:, 0, :c], 1e-24))
+        nk = jnp.sqrt(jnp.maximum(ssq_q[:, 0, c : 2 * c], 1e-24))
+        s = s_qk[:, :c, c : 2 * c]
+    else:
+        nq = jnp.sqrt(jnp.maximum(ssq_q[:, 0, :c], 1e-24))  # (B, C)
+        nk = jnp.sqrt(jnp.maximum(ssq_k[:, 0, :c], 1e-24))
+        s = s_qk[:, :c, :c]
+    logits = s / jnp.maximum(nq[:, :, None] * nk[:, None, :], 1e-12)
+    hb = jnp.arange(c) // d
+    same_head = hb[:, None] == hb[None, :]
+    temp = temperature.astype(jnp.float32)[hb]  # (C,) per-row temperature
+    logits = logits * temp[None, :, None]
+    logits = jnp.where(same_head[None], logits, -jnp.inf)
+    attn = jax.nn.softmax(logits, axis=-1)  # (B, C, C) block-diagonal
+    return jnp.zeros((b, cp, cp), jnp.float32).at[:, :c, :c].set(attn)
 
 
 def _kernel_b(v_ref, x_ref, attn_ref, wproj_ref, out_ref, *, cp):
@@ -270,39 +345,9 @@ def mdta_stats(
         ln_b = jnp.zeros_like(ln_w)
     dtype = x.dtype
 
-    def padc(a, axis):
-        cfg = [(0, 0)] * a.ndim
-        cfg[axis] = (0, cp - c)
-        return jnp.pad(a, cfg)
-
-    lnw_p = padc(ln_w, 0)
-    lnb_p = padc(ln_b, 0)
-    wq, wk, wv = jnp.split(w_qkv, 3, axis=1)
-    dq, dk, dv = jnp.split(w_dw, 3, axis=2)
-    # packed-qk layout whenever it shrinks the tap lane count (C=48: the
-    # full-resolution level runs 256 instead of 384 dwconv lanes)
-    qkp = _lanes(2 * c) if _lanes(2 * c) < 2 * cp else 0
-    if qkp:
-        wqkv_p = jnp.concatenate(
-            [
-                padc(wq, 0),
-                padc(wk, 0),
-                jnp.zeros((cp, qkp - 2 * c), w_qkv.dtype),
-                padc(padc(wv, 0), 1),
-            ],
-            axis=1,
-        )
-        wdw_p = jnp.concatenate(
-            [dq, dk, jnp.zeros((3, 3, qkp - 2 * c), w_dw.dtype),
-             padc(dv, 2)],
-            axis=2,
-        )
-    else:
-        # qkv: pad each of the three C-slabs to cp
-        wqkv_p = jnp.concatenate(
-            [padc(padc(t, 0), 1) for t in (wq, wk, wv)], axis=1
-        )
-        wdw_p = jnp.concatenate([padc(t, 2) for t in (dq, dk, dv)], axis=2)
+    lnw_p, lnb_p, wqkv_p, wdw_p, qkp = prep_stats_weights(
+        ln_w, ln_b, w_qkv, w_dw, c, cp
+    )
     width = wqkv_p.shape[1]
     sdim = qkp if qkp else cp
 
@@ -368,23 +413,7 @@ def mdta_stats(
       wqkv_p.astype(dtype), wdw_p.astype(dtype))
 
     # --- tiny host-side attention over channel blocks ---
-    if qkp:
-        # packed: ssq_q holds [||q||^2 | ||k||^2]; q^T k is the Gram
-        # matrix's [0:c, c:2c] block
-        nq = jnp.sqrt(jnp.maximum(ssq_q[:, 0, :c], 1e-24))
-        nk = jnp.sqrt(jnp.maximum(ssq_q[:, 0, c : 2 * c], 1e-24))
-        s = s_qk[:, :c, c : 2 * c]
-    else:
-        nq = jnp.sqrt(jnp.maximum(ssq_q[:, 0, :c], 1e-24))  # (B, C)
-        nk = jnp.sqrt(jnp.maximum(ssq_k[:, 0, :c], 1e-24))
-        s = s_qk[:, :c, :c]
-    logits = s / jnp.maximum(nq[:, :, None] * nk[:, None, :], 1e-12)
-    # restrict to per-head diagonal blocks
-    hb = jnp.arange(c) // d
-    same_head = hb[:, None] == hb[None, :]
-    temp = temperature.astype(jnp.float32)[hb]  # (C,) per-row temperature
-    logits = logits * temp[None, :, None]
-    logits = jnp.where(same_head[None], logits, -jnp.inf)
-    attn = jax.nn.softmax(logits, axis=-1)  # (B, C, C) block-diagonal
-    attn_p = jnp.zeros((b, cp, cp), jnp.float32).at[:, :c, :c].set(attn)
+    attn_p = attn_from_stats(
+        s_qk, ssq_q, ssq_k, temperature, c, cp, num_heads, qkp
+    )
     return v_arr, attn_p.astype(dtype)

@@ -389,6 +389,60 @@ def test_ln_block_p_grads_match_unpadded():
                                    atol=1e-5)
 
 
+def test_merged_tail_stats_matches_two_kernels():
+    """The merged tail+stats kernel (ops/pallas/megablock.py prototype)
+    must reproduce fused_block_tail(padded_out) followed by
+    mdta_stats(prepadded) exactly — including the skewed stripe borders
+    (odd stripe count) and the Gram/norm accumulation."""
+    from promptir_tpu.ops.pallas.block import fused_block_tail, pad_nhwc
+    from promptir_tpu.ops.pallas.megablock import fused_tail_stats_padded
+    from promptir_tpu.ops.pallas.mdta import attn_from_stats, mdta_stats
+
+    c, heads = 48, 2
+    wts_n = _block_weights(c, heads, seed=31)
+    wts_n1 = _block_weights(c, heads, seed=32)
+    x = jnp.asarray(
+        np.random.default_rng(33).normal(size=(2, 40, 24, c))
+        .astype(np.float32)
+    )
+    b, h, w, _ = x.shape
+    xp = pad_nhwc(x)
+
+    v_n, attn_n = mdta_stats(
+        xp, wts_n["ln1w"], wts_n["ln1b"], wts_n["wqkv"], wts_n["wdwa"],
+        wts_n["temp"], heads, interpret=True, prepadded=(w, c),
+    )
+    x3_ref = fused_block_tail(
+        v_n, xp, attn_n, wts_n["wproj"], wts_n["ln2w"], wts_n["ln2b"],
+        wts_n["w1"], wts_n["wdwf"], wts_n["w2"], interpret=True,
+        prepadded=(w, c), padded_out=True,
+    )
+    v2_ref, attn2_ref = mdta_stats(
+        x3_ref, wts_n1["ln1w"], wts_n1["ln1b"], wts_n1["wqkv"],
+        wts_n1["wdwa"], wts_n1["temp"], heads, interpret=True,
+        prepadded=(w, c),
+    )
+
+    out = fused_tail_stats_padded(
+        v_n, xp, attn_n, wts_n["wproj"], wts_n["ln2w"], wts_n["ln2b"],
+        wts_n["w1"], wts_n["wdwf"], wts_n["w2"], wts_n1["ln1w"],
+        wts_n1["ln1b"], wts_n1["wqkv"], wts_n1["wdwa"],
+        w=w, c=c, interpret=True,
+    )
+    assert out is not None
+    x3, v2, (s_qk, ssq_q, ssq_k, qkp) = out
+    cp = x3.shape[-1]
+    attn2 = attn_from_stats(s_qk, ssq_q, ssq_k, wts_n1["temp"], c, cp,
+                            heads, qkp).astype(x3.dtype)
+
+    np.testing.assert_allclose(np.asarray(x3), np.asarray(x3_ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(v2_ref),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(attn2), np.asarray(attn2_ref),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_promptir_fused_chain_matches_unfused():
     """Full tiny PromptIR: fused_ffn (padded chains via apply_block_stack)
     vs the plain XLA path on identical params."""
