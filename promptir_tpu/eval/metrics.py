@@ -174,6 +174,37 @@ def compute_niqe(image, model=None) -> float:
     return _niqe.niqe(arr, model=model)
 
 
+class Timer:
+    """Accumulating wall-clock timer (reference utils/val_utils.py:76-97):
+    `tic` marks a start, `toc` reads the elapsed span, `hold` accumulates
+    it, `release` returns-and-clears the accumulator."""
+
+    def __init__(self):
+        self.acc = 0.0
+        self.tic()
+
+    def tic(self):
+        import time
+
+        self.t0 = time.perf_counter()
+
+    def toc(self) -> float:
+        import time
+
+        return time.perf_counter() - self.t0
+
+    def hold(self):
+        self.acc += self.toc()
+
+    def release(self) -> float:
+        ret = self.acc
+        self.acc = 0.0
+        return ret
+
+    def reset(self):
+        self.acc = 0.0
+
+
 class AverageMeter:
     """Running average tracker (reference utils/val_utils.py:8-26)."""
 

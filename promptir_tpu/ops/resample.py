@@ -115,6 +115,48 @@ class FewChannelConv3(nn.Module):
         return y
 
 
+class SRUpsample(nn.Module):
+    """Super-resolution upsampler for 2^n and 3x scales.
+
+    Parity: reference `SR_Upsample`
+    (/root/reference/net/camixer_prompt_xrestormer_eff.py:561-580, with
+    identical clones in 3 other net files) — a torch Sequential of
+    [3x3 conv C -> r^2*C, PixelShuffle(r)] stages: log2(scale) stages of
+    r=2 for power-of-two scales, one r=3 stage for scale 3. Note it is
+    dead code in the reference (defined but never instantiated); it exists
+    here for inventory completeness. Module names are the torch Sequential
+    indices ("0", "2", ...) so a state_dict maps 1:1 through the
+    converter. Torch Conv2d default bias=True.
+    """
+
+    scale: int
+    num_feat: int
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        conv = lambda cout, name: Conv(  # noqa: E731
+            cout,
+            (3, 3),
+            padding=((1, 1), (1, 1)),
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            name=name,
+        )
+        if self.scale > 0 and (self.scale & (self.scale - 1)) == 0:
+            for i in range(self.scale.bit_length() - 1):
+                x = conv(4 * self.num_feat, str(2 * i))(x)
+                x = pixel_shuffle(x, 2)
+            return x
+        if self.scale == 3:
+            x = conv(9 * self.num_feat, "0")(x)
+            return pixel_shuffle(x, 3)
+        raise ValueError(
+            f"scale {self.scale} is not supported. Supported scales: 2^n and 3."
+        )
+
+
 class Downsample(nn.Module):
     """3x3 conv C -> C/2 then 2x pixel-unshuffle (net: 2C channels at H/2).
 

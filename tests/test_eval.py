@@ -126,6 +126,23 @@ def test_average_meter():
     assert m.count == 3
 
 
+def test_timer_hold_release():
+    from promptir_tpu.eval.metrics import Timer
+
+    t = Timer()
+    t.tic()
+    assert t.toc() >= 0.0
+    t.hold()
+    t.tic()
+    t.hold()
+    acc = t.release()
+    assert acc >= 0.0
+    assert t.release() == 0.0  # release clears the accumulator
+    t.hold()
+    t.reset()
+    assert t.acc == 0.0
+
+
 # ---- NIQE (own implementation + fit tooling, eval/niqe.py) ----
 
 

@@ -31,6 +31,31 @@ def test_promptir_small_forward(golden):
     np.testing.assert_allclose(np.asarray(y), g.y_nhwc, rtol=5e-5, atol=5e-5)
 
 
+def test_promptir_full_depth_ckpt_coverage_and_forward(golden):
+    """Released-checkpoint fidelity at FULL depth (num_blocks [4,6,6,8],
+    refinement 4 — net/model.py:244-263): all 548 tensors of the
+    reference state dict must land in the flax tree with correct shapes
+    through `convert_state_dict`, and the converted weights must
+    reproduce the reference 64px forward. This is the strongest
+    released-ckpt parity evidence available without the ckpt itself
+    (ckpt/README.md:1): same config, same key space, same math.
+    """
+    g = golden("promptir_full")
+    assert len(g.state_dict) == 548
+    model = create_model("promptir")
+    variables = convert_state_dict(g.state_dict)
+
+    init = jax.eval_shape(
+        lambda: model.init(
+            jax.random.PRNGKey(0), jnp.zeros_like(jnp.asarray(g.x_nhwc))
+        )
+    )
+    check_params_match(variables, init)  # 548/548 keys, exact shapes
+
+    y = model.apply(variables, jnp.asarray(g.x_nhwc))
+    np.testing.assert_allclose(np.asarray(y), g.y_nhwc, rtol=2e-4, atol=2e-4)
+
+
 def test_promptir_param_count():
     model = create_model("promptir")
     init = jax.eval_shape(

@@ -87,6 +87,21 @@ def test_upsample(golden):
     run(Upsample(48), golden("upsample"))
 
 
+@pytest.mark.parametrize("case,scale", [("sr_upsample_x4", 4), ("sr_upsample_x3", 3)])
+def test_sr_upsample(golden, case, scale):
+    from promptir_tpu.ops.resample import SRUpsample
+
+    run(SRUpsample(scale, 16), golden(case))
+
+
+def test_sr_upsample_rejects_bad_scale():
+    from promptir_tpu.ops.resample import SRUpsample
+
+    x = jnp.zeros((1, 4, 4, 8))
+    with pytest.raises(ValueError, match="not supported"):
+        SRUpsample(5, 8).init(jax.random.PRNGKey(0), x)
+
+
 def test_transformer_block(golden):
     run(TransformerBlock(48, 2, 2.66, use_bias=False), golden("transformer_block"))
 

@@ -100,6 +100,27 @@ def main():
     )
     dump("promptir_small", net, randn(1, 3, 64, 64), quantize=True)
 
+    # FULL-depth flagship (num_blocks [4,6,6,8], refinement 4 — the released
+    # checkpoint's config, net/model.py:244-263): 548 tensors / 35,592,263
+    # params. The fixture is the strongest released-ckpt parity evidence
+    # available without the ckpt itself: key coverage (all 548 tensors must
+    # land in the flax tree) + one 64px forward.
+    seed_all(15)
+    full = ref.PromptIR(decoder=True)
+    dump("promptir_full", full, randn(1, 3, 64, 64), quantize=True)
+
+    # SR_Upsample lives in the camixer variant files (dead code in the
+    # reference — never instantiated — but part of the §2.1 inventory)
+    import ref_stubs
+
+    ref_stubs.install()
+    from net import camixer_prompt_xrestormer_eff as ref_ca
+
+    seed_all(13)
+    dump("sr_upsample_x4", ref_ca.SR_Upsample(4, 16), randn(2, 16, 9, 11))
+    seed_all(14)
+    dump("sr_upsample_x3", ref_ca.SR_Upsample(3, 16), randn(2, 16, 9, 11))
+
 
 if __name__ == "__main__":
     main()
