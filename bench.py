@@ -35,6 +35,10 @@ SIZE = 512
 BATCH = 16
 WARMUP = 2
 ITERS = 8
+# second benchmark size per BASELINE.md's metric line ("256/512px tiles");
+# same pixel count per call so per-dispatch overhead stays comparable
+SIZE2 = 256
+BATCH2 = 64
 
 
 def main():
@@ -87,6 +91,21 @@ def main():
 
     megapixels = BATCH * SIZE * SIZE * ITERS / 1e6
     mps = megapixels / dt
+
+    # 256px line (BASELINE.md: "256/512px tiles") — reported inside the
+    # single JSON line so the driver's 512px parse stays unchanged
+    x2 = jnp.asarray(
+        rng.uniform(size=(BATCH2, SIZE2, SIZE2, 3)).astype(np.float32)
+    )
+    for _ in range(WARMUP):
+        x2 = fn(params, x2)
+    sync(x2)
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        x2 = fn(params, x2)
+    sync(x2)
+    mps256 = BATCH2 * SIZE2 * SIZE2 * ITERS / 1e6 / (time.perf_counter() - t0)
+
     print(
         json.dumps(
             {
@@ -94,6 +113,7 @@ def main():
                 "value": round(mps, 3),
                 "unit": "MP/s",
                 "vs_baseline": round(mps / A100_REF_MPS, 3),
+                "mps_256px_batch64": round(mps256, 3),
             }
         )
     )

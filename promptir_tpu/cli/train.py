@@ -41,8 +41,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--remat", action="store_true")
     p.add_argument(
         "--fused", action="store_true",
-        help="train with the fused Pallas LN+MDTA/LN+GDFN kernels "
-             "(custom-VJP backward; promptir only)",
+        help="train with the fused Pallas kernels (custom-VJP backward; "
+             "promptir only). NOTE: measured SLOWER than --remat for "
+             "training on v5e (tools/tbench.py: 925 vs 529 ms/step at "
+             "batch 24 — the custom VJP already remats the unfused "
+             "composition). The fused kernels are the inference/serving "
+             "optimization; for training use --remat.",
     )
     p.add_argument(
         "--profile_dir", default=None,

@@ -38,6 +38,15 @@ def channel_attention(
     s = h * w
     dtype = q.dtype
 
+    # Under a spatial-sharding trace (parallel/spatial.py) each shard holds
+    # an H stripe: the spatial reductions (L2 norms, channel Gram) are
+    # computed over the local rows and psummed — the attention matrix then
+    # comes out replicated-exact on every shard. This is THE global
+    # coupling of MDTA; everything else in the block is local or halo-local.
+    from promptir_tpu.parallel.spatial import current_spatial_axis
+
+    axis = current_spatial_axis()
+
     def split(x):
         return x.reshape(b, s, num_heads, d)
 
@@ -49,6 +58,8 @@ def channel_attention(
     # dtype (bandwidth: no fp32 copies of HxW activations materialize).
     def l2norm_spatial(x):
         sq = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=1, keepdims=True)
+        if axis is not None:
+            sq = jax.lax.psum(sq, axis)
         inv = jax.lax.rsqrt(jnp.maximum(sq, 1e-24))
         return x * inv.astype(dtype)
 
@@ -60,6 +71,8 @@ def channel_attention(
     attn = jnp.einsum(
         "bshi,bshj->bhij", qn, kn, preferred_element_type=jnp.float32
     )
+    if axis is not None:
+        attn = jax.lax.psum(attn, axis)
     attn = attn * temperature.astype(jnp.float32)[None, :, None, None]
     attn = jax.nn.softmax(attn, axis=-1)
 

@@ -2,16 +2,72 @@
 
 All framework modules use these so from-scratch training matches the
 reference's initialization statistics (see utils/init.py).
+
+`Conv` is additionally the single hook for EXACT spatially-sharded
+inference (parallel/spatial.py): when a spatial-sharding trace context is
+active, every stride-1 odd-kernel conv with symmetric explicit padding
+exchanges `kh//2` boundary rows with its mesh neighbors (ppermute over
+ICI) and crops the recomputed edge rows — bit-identical to the unsharded
+zero-padded conv, with no change to the parameter tree.
 """
 
 from __future__ import annotations
 
 from functools import partial
+from typing import Any, Callable
 
+import jax.numpy as jnp
 from flax import linen as nn
 
 from promptir_tpu.utils.init import torch_kernel_init
 
-Conv = partial(nn.Conv, kernel_init=torch_kernel_init)
+
+def _halo_plan(conv: nn.Conv, x) -> int:
+    """Rows of halo needed for sharded execution, or 0 if the conv is not
+    halo-eligible (then it must be spatially local, e.g. 1x1)."""
+    if x.ndim != 4:
+        return 0
+    ks = conv.kernel_size
+    if isinstance(ks, int):
+        ks = (ks, ks)
+    kh = ks[0]
+    if kh <= 1 or kh % 2 == 0:
+        return 0
+    strides = conv.strides
+    if strides not in (None, 1, (1, 1)):
+        return 0
+    pad = conv.padding
+    if not isinstance(pad, (tuple, list)) or len(pad) != 2:
+        return 0
+    if tuple(pad[0]) != (kh // 2, kh // 2):
+        return 0
+    if conv.input_dilation not in (None, 1, (1, 1)):
+        return 0
+    if conv.kernel_dilation not in (None, 1, (1, 1)):
+        return 0
+    return kh // 2
+
+
+class Conv(nn.Conv):
+    """nn.Conv with torch init + spatial-sharding halo awareness."""
+
+    kernel_init: Callable[..., Any] = torch_kernel_init
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from promptir_tpu.parallel.spatial import (
+            current_spatial_axis,
+            exchange_rows,
+        )
+
+        axis = current_spatial_axis()
+        if axis is not None:
+            halo = _halo_plan(self, x)
+            if halo:
+                xh = exchange_rows(x, halo, axis)
+                y = super().__call__(xh)
+                return y[:, halo:-halo]
+        return super().__call__(x)
+
+
 Dense = partial(nn.Dense, kernel_init=torch_kernel_init)
 ConvTranspose = partial(nn.ConvTranspose, kernel_init=torch_kernel_init)

@@ -220,6 +220,64 @@ def dwconv3x3_stripe(hidden, wdw_ref, th, w):
     return acc
 
 
+def dw_gelu_gate_microtile(hidden, wdw_ref, th, w, fpad):
+    """Fused depthwise-3x3 + gelu-gate over register-resident microtiles.
+
+    The statement-per-pass form (dwconv3x3_stripe + the gelu/gate chain)
+    streams every intermediate through VMEM: each tap is a full-stripe
+    read-modify-write (~12 B per hidden element per tap) and the gelu
+    chain adds ~10 more full passes — the measured cost model
+    (PROFILE.md) is ~0.4 ms per 128-lane pass whatever the op, i.e. the
+    section is VMEM-bandwidth bound, not FLOP bound. This variant walks
+    (8-sublane x 128-lane) output microtiles in a fori_loop keeping both
+    gate accumulators AND the whole gelu chain in vector registers: per
+    gated element ~18 tile loads + 1 store instead of ~60 streamed
+    passes' worth of traffic.
+
+    hidden: (th+2, wp, 2*fpad) fp32 (border cols/rows already zeroed via
+    the y mask). Returns gated (th, w, fpad) fp32. Requires w % 8 == 0.
+    """
+    nw = w // 8
+    ngroups = fpad // 128
+
+    def body(t, out):
+        r = t // nw
+        ws = (t % nw) * 8
+        for g in range(ngroups):
+            a1 = jnp.zeros((8, 128), jnp.float32)
+            a2 = jnp.zeros((8, 128), jnp.float32)
+            for di in range(3):
+                for dj in range(3):
+                    w1t = wdw_ref[di, dj, g * 128 : (g + 1) * 128].astype(
+                        jnp.float32
+                    )
+                    w2t = wdw_ref[
+                        di, dj, fpad + g * 128 : fpad + (g + 1) * 128
+                    ].astype(jnp.float32)
+                    s1 = jax.lax.dynamic_slice(
+                        hidden, (r + di, ws + dj, g * 128), (1, 8, 128)
+                    ).reshape(8, 128)
+                    s2 = jax.lax.dynamic_slice(
+                        hidden, (r + di, ws + dj, fpad + g * 128), (1, 8, 128)
+                    ).reshape(8, 128)
+                    a1 = a1 + s1 * w1t
+                    a2 = a2 + s2 * w2t
+            gelu = a1 * (0.5 + 0.5 * _erf(a1 * 0.7071067811865476))
+            out = jax.lax.dynamic_update_slice(
+                out, (gelu * a2)[None], (r, ws, g * 128)
+            )
+        return out
+
+    out0 = jnp.zeros((th, w, fpad), jnp.float32)
+    return jax.lax.fori_loop(0, th * nw, body, out0)
+
+
+# flip to route ln_gdfn_stripe through the microtile path (kbench A/B and
+# the fused-op entry points set this; module-level so the shared stripe
+# body stays signature-compatible with its two kernel callers)
+MICROTILE = _os.environ.get("PROMPTIR_MICROTILE", "0") == "1"
+
+
 def ln_gdfn_stripe(xf, i, lnw_ref, lnb_ref, w1_ref, wdw_ref, w2_ref,
                    io_dtype, *, th, w, wp, c_real, bias_free, eps,
                    num_i=None):
@@ -247,13 +305,19 @@ def ln_gdfn_stripe(xf, i, lnw_ref, lnb_ref, w1_ref, wdw_ref, w2_ref,
         preferred_element_type=jnp.float32,
     ).reshape(th + 2, wp, two_fp)
 
-    acc = dwconv3x3_stripe(hidden, wdw_ref, th, w)
+    if MICROTILE and w % 8 == 0:
+        gated = dw_gelu_gate_microtile(hidden, wdw_ref, th, w, fp).astype(
+            io_dtype
+        )
+    else:
+        acc = dwconv3x3_stripe(hidden, wdw_ref, th, w)
 
-    x1 = acc[:, :, :fp]
-    x2 = acc[:, :, fp:]
-    # exact (erf) gelu — erf approximated in-kernel (no Mosaic primitive)
-    gelu = x1 * (0.5 + 0.5 * _erf(x1 * 0.7071067811865476))
-    gated = (gelu * x2).astype(io_dtype)
+        x1 = acc[:, :, :fp]
+        x2 = acc[:, :, fp:]
+        # exact (erf) gelu — erf approximated in-kernel (no Mosaic
+        # primitive)
+        gelu = x1 * (0.5 + 0.5 * _erf(x1 * 0.7071067811865476))
+        gated = (gelu * x2).astype(io_dtype)
 
     return jax.lax.dot_general(
         gated.reshape(-1, fp), w2_ref[:],

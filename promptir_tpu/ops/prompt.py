@@ -41,7 +41,19 @@ class PromptGenBlock(nn.Module):
             nn.initializers.uniform(scale=1.0),
             (self.prompt_len, self.prompt_size, self.prompt_size, self.prompt_dim),
         )
+        # Under a spatial-sharding trace (parallel/spatial.py) `x` is an H
+        # stripe: the GAP becomes a pmean (equal stripes -> exact global
+        # mean); the tiny bank mix is computed replicated; the bilinear
+        # resize runs at GLOBAL row coordinates and this shard slices its
+        # own rows.
+        import jax
+
+        from promptir_tpu.parallel.spatial import current_spatial_axis
+
+        axis = current_spatial_axis()
         emb = jnp.mean(x, axis=(1, 2))  # (B, lin_dim) global average pool
+        if axis is not None:
+            emb = jax.lax.pmean(emb, axis)
         logits = Dense(
             self.prompt_len, dtype=self.dtype, name="linear_layer"
         )(emb)
@@ -51,7 +63,13 @@ class PromptGenBlock(nn.Module):
         prompt = jnp.einsum(
             "bl,lhwc->bhwc", weights, bank.astype(jnp.float32)
         ).astype(x.dtype)
-        prompt = resize_bilinear(prompt, (h, w), self.align_corners)
+        if axis is not None:
+            n = jax.lax.axis_size(axis)
+            full = resize_bilinear(prompt, (h * n, w), self.align_corners)
+            start = jax.lax.axis_index(axis) * h
+            prompt = jax.lax.dynamic_slice_in_dim(full, start, h, axis=1)
+        else:
+            prompt = resize_bilinear(prompt, (h, w), self.align_corners)
         return Conv(
             self.prompt_dim,
             (3, 3),

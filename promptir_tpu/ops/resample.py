@@ -98,13 +98,23 @@ class FewChannelConv3(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from promptir_tpu.parallel.spatial import (
+            current_spatial_axis,
+            exchange_rows,
+        )
+
         cin = x.shape[-1]
         w = self.param(
             "kernel", torch_kernel_init, (3, 3, cin, self.features)
         )
+        axis = current_spatial_axis()
+        h_pad = (1, 1)
+        if axis is not None:  # sharded: neighbor rows replace zero pad
+            x = exchange_rows(x, 1, axis)
+            h_pad = (0, 0)
         y = jax.lax.conv_general_dilated(
             x.astype(self.dtype), w.astype(self.dtype),
-            window_strides=(1, 1), padding=((1, 1), (1, 1)),
+            window_strides=(1, 1), padding=(h_pad, (1, 1)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
         if self.use_bias:
@@ -174,10 +184,17 @@ class Downsample(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from promptir_tpu.parallel.spatial import current_spatial_axis
+
         half = self.n_feat // 2
         lanes = lambda n: -(-n // 128) * 128  # noqa: E731
-        # effective MXU cost per logical MAC: taps * lane-padding waste
-        if 16 * lanes(4 * half) / (4 * half) < 9 * lanes(half) / half:
+        # effective MXU cost per logical MAC: taps * lane-padding waste.
+        # Under a spatial-sharding trace the direct path is used: its 3x3
+        # conv gets the halo exchange from the Conv hook and the
+        # pixel-unshuffle stays local (stripe heights are even).
+        if current_spatial_axis() is None and (
+            16 * lanes(4 * half) / (4 * half) < 9 * lanes(half) / half
+        ):
             w = _Kernel((3, 3, self.n_feat, half), name="body_0")()
             k = fold_unshuffle_kernel(w).astype(self.dtype)
             return jax.lax.conv_general_dilated(

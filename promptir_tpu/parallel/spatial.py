@@ -1,0 +1,116 @@
+"""EXACT spatially-sharded model forward — in-model collectives.
+
+`parallel/halo.py` shards the H axis and exchanges a fixed input halo;
+that is exact only for purely local (conv) models. The PromptIR family is
+NOT local: MDTA's attention statistics are global over the spatial axis
+(the q/k L2 norms and the channel-Gram contraction sum over every pixel,
+ops/attention.py), and PromptGenBlock starts from a global average pool.
+The reference sidesteps the question by running whole images on one GPU
+(and tiling is itself inexact, /root/reference/demo.py:26-48).
+
+The TPU-native answer is a sharding-aware forward: run the UNMODIFIED
+flax model under `shard_map` with a trace-time context that makes each op
+handle its own distribution —
+
+  * stride-1 spatial convs (3x3 dw/qkv/embed/output) exchange a
+    `kh//2`-row halo with mesh neighbors over ICI (`ppermute`) and crop
+    the recomputed boundary rows: bit-exact vs the unsharded zero-pad;
+  * MDTA's L2-norm sums and channel-Gram matrix are computed over the
+    local rows and `psum`med — the softmaxed attention matrix is then
+    replicated-exact on every shard;
+  * PromptGenBlock's GAP becomes a `pmean`; the (tiny) prompt-bank mix is
+    computed replicated, bilinearly resized at GLOBAL row coordinates and
+    sliced to the local stripe;
+  * pixel-(un)shuffle resampling stays local (stripe heights must stay
+    even through every level — hence the H % (n * 8) requirement for the
+    4-level U-Net).
+
+Total communication per forward: 2 halo rows per spatial conv plus a few
+KB of psummed statistics — all ICI, no host round-trips, one XLA program.
+
+Requires the unfused op path (`fused_ffn=False`); the Pallas kernels are
+single-chip.
+"""
+
+from __future__ import annotations
+
+from contextlib import contextmanager
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+_SPATIAL_AXIS: Optional[str] = None
+
+
+def current_spatial_axis() -> Optional[str]:
+    """The mesh axis name the forward is being traced under, or None."""
+    return _SPATIAL_AXIS
+
+
+@contextmanager
+def spatial_sharding(axis: str):
+    """Activate sharded tracing: ops consult `current_spatial_axis()`."""
+    global _SPATIAL_AXIS
+    prev = _SPATIAL_AXIS
+    _SPATIAL_AXIS = axis
+    try:
+        yield
+    finally:
+        _SPATIAL_AXIS = prev
+
+
+def exchange_rows(x: jnp.ndarray, halo: int, axis: str) -> jnp.ndarray:
+    """Pad a local (B, h, W, C) stripe with `halo` boundary rows from the
+    previous/next shard (zeros at the global borders, matching SAME-conv
+    zero padding). Returns (B, h + 2*halo, W, C)."""
+    from promptir_tpu.parallel.halo import exchange_halo
+
+    return exchange_halo(x, halo, axis, border="zeros")
+
+
+def local_rows(h_global: int, axis: str) -> tuple[jnp.ndarray, int]:
+    """(start_row, rows_per_shard) of this shard's stripe."""
+    n = jax.lax.axis_size(axis)
+    h_local = h_global // n
+    return jax.lax.axis_index(axis) * h_local, h_local
+
+
+def spatial_sharded_apply(
+    model_fn: Callable,
+    params,
+    x: jnp.ndarray,
+    mesh: Mesh,
+    axis: str = "data",
+) -> jnp.ndarray:
+    """Bit-exact multi-chip forward of one (batch of) image(s).
+
+    `model_fn(params, x_nhwc)` is the plain single-chip forward (built
+    with `fused_ffn=False`); `x` is the global (B, H, W, C) input with
+    H divisible by `8 * mesh.shape[axis]` (stripe heights stay even
+    through 3 pixel-unshuffle levels). Parameters are replicated; the H
+    axis is sharded; every cross-shard dependency is handled inside the
+    ops via `current_spatial_axis()`.
+    """
+    n = mesh.shape[axis]
+    _, h, _, _ = x.shape
+    assert h % (8 * n) == 0, (
+        f"H={h} must be divisible by 8 * {axis}-axis size {n} "
+        "(even stripes through 3 downsample levels)"
+    )
+
+    def shard_fn(p, xs):
+        with spatial_sharding(axis):
+            return model_fn(p, xs)
+
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(None, axis)),
+        out_specs=P(None, axis),
+        check_vma=False,
+    )
+    xg = jax.device_put(x, NamedSharding(mesh, P(None, axis)))
+    pg = jax.device_put(params, NamedSharding(mesh, P()))
+    return fn(pg, xg)

@@ -44,6 +44,44 @@ def test_exchange_halo_reassembles_neighbors():
 
 
 @pytest.mark.slow
+def test_spatial_sharded_apply_promptir_exact():
+    """EXACT multi-chip inference of the REAL U-Net (full PromptIR wiring:
+    prompts, MDTA global stats, 3 down/upsample levels, asymmetric
+    decoder) via in-model collectives (parallel/spatial.py): every shard's
+    output must match the single-device forward everywhere — including
+    seams and global borders — to float tolerance (psum reassociation)."""
+    from promptir_tpu.parallel.spatial import spatial_sharded_apply
+
+    model = create_model(
+        "promptir", num_blocks=(1, 1, 1, 1), num_refinement_blocks=1
+    )
+    x = jnp.asarray(
+        np.random.default_rng(1).uniform(size=(1, 128, 64, 3)).astype(np.float32)
+    )
+    params = model.init(jax.random.PRNGKey(0), x)
+
+    def fn(p, xs):
+        return model.apply(p, xs)
+
+    mesh = create_mesh()
+    y_sharded = spatial_sharded_apply(fn, params, x, mesh)
+    y_ref = fn(params, x)
+    np.testing.assert_allclose(
+        np.asarray(y_sharded), np.asarray(y_ref), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_spatial_sharded_apply_rejects_bad_height():
+    from promptir_tpu.parallel.spatial import spatial_sharded_apply
+
+    mesh = create_mesh()
+    with pytest.raises(AssertionError, match="divisible"):
+        spatial_sharded_apply(
+            lambda p, t: t, None, jnp.zeros((1, 72, 16, 3)), mesh
+        )
+
+
+@pytest.mark.slow
 def test_spatial_sharded_forward_matches_unsharded():
     """With a halo covering the receptive field, the sharded forward must
     equal the single-device forward away from seams; with a conv-only

@@ -47,3 +47,19 @@ def test_niqe_gated():
         assert "fit" in str(e)
     except Exception:
         pass
+
+
+def test_niqe_committed_model_out_of_box():
+    """The package ships a fitted pristine model (eval/niqe_model.npz, fit
+    on a generated clean corpus via cli/fit_niqe) so `compute_niqe` works
+    with zero optional deps and orders degradations correctly."""
+    import os
+
+    from promptir_tpu.data.synthetic import synth_clean_image
+    from promptir_tpu.eval.niqe import _default_model_path, niqe
+
+    assert os.path.exists(_default_model_path())
+    clean = synth_clean_image(424242, 224, 224).astype(np.float64) / 255.0
+    rng = np.random.default_rng(0)
+    noisy = np.clip(clean + rng.normal(0, 50 / 255.0, clean.shape), 0, 1)
+    assert niqe(noisy) > niqe(clean)
