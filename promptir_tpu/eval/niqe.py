@@ -75,7 +75,10 @@ def _ggd_fit(vec: np.ndarray) -> Tuple[float, float]:
     """Moment-matching generalized-Gaussian fit -> (alpha, sigma^2)."""
     sigma_sq = float(np.mean(vec**2))
     e_abs = float(np.mean(np.abs(vec)))
-    rho = sigma_sq / (e_abs**2 + 1e-12)
+    # degenerate (constant) blocks have zero moments; clamp rho so the
+    # table lookup stays defined (alpha is arbitrary there — sigma^2 = 0
+    # carries the information)
+    rho = max(sigma_sq / (e_abs**2 + 1e-12), 1e-12)
     alpha = _GAM[np.argmin(np.abs(_R_GAM - 1.0 / rho))]
     return float(alpha), sigma_sq
 
@@ -89,9 +92,10 @@ def _aggd_fit(vec: np.ndarray) -> Tuple[float, float, float, float]:
     gamma_hat = l_std / (r_std + 1e-12)
     e_abs = float(np.mean(np.abs(vec)))
     rho = float(np.mean(vec**2)) / (e_abs**2 + 1e-12)
-    rho_hat = (
+    rho_hat = max(
         rho * (gamma_hat**3 + 1.0) * (gamma_hat + 1.0)
-        / ((gamma_hat**2 + 1.0) ** 2)
+        / ((gamma_hat**2 + 1.0) ** 2),
+        1e-12,
     )
     alpha = _GAM[np.argmin(np.abs(_R_GAM - 1.0 / rho_hat))]
     const = math.sqrt(math.gamma(1.0 / alpha) / math.gamma(3.0 / alpha))

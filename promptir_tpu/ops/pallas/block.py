@@ -69,7 +69,7 @@ def unpad_nhwc(xp: jnp.ndarray, w: int, c: int) -> jnp.ndarray:
 
 def _tail_kernel(vb_ref, xb_ref, v_hbm, x_hbm, attn_ref, wproj_ref,
                  lnw_ref, lnb_ref, w1_ref, wdw_ref, w2_ref, out_ref,
-                 vhalo_ref, xhalo_ref, sem, *, th, w, wp, c_real,
+                 vhalo_ref, xhalo_ref, sem, *mt_refs, th, w, wp, c_real,
                  bias_free, eps, pad_out=False):
     cp = xb_ref.shape[-1]
     i = pl.program_id(1)
@@ -112,6 +112,7 @@ def _tail_kernel(vb_ref, xb_ref, v_hbm, x_hbm, attn_ref, wproj_ref,
     ffn = _gdfn_mod.ln_gdfn_stripe(
         x2, i, lnw_ref, lnb_ref, w1_ref, wdw_ref, w2_ref, xt.dtype,
         th=th, w=w, wp=wp, c_real=c_real, bias_free=bias_free, eps=eps,
+        mt_refs=mt_refs if mt_refs else None,
     )
     residual = x2[1 : th + 1, 1 : w + 1, :]
     res = (ffn + residual).astype(out_ref.dtype)
@@ -245,7 +246,15 @@ def fused_block_tail(
             pltpu.VMEM((2, 2, w, cp), dtype),
             pltpu.VMEM((2, 2, wp, cp), dtype),
             pltpu.SemaphoreType.DMA((2, 2, 2)),
-        ],
+        ]
+        + (
+            [
+                pltpu.VMEM((th + 2, wp, 2 * fpad), jnp.float32),
+                pltpu.VMEM((th, w, fpad), jnp.float32),
+            ]
+            if _gdfn_mod.MICROTILE and w % 8 == 0
+            else []
+        ),
         compiler_params=pltpu.CompilerParams(
             # stripes sequential so the pipelined halo prefetch is sound
             dimension_semantics=("parallel", "arbitrary"),

@@ -220,7 +220,7 @@ def dwconv3x3_stripe(hidden, wdw_ref, th, w):
     return acc
 
 
-def dw_gelu_gate_microtile(hidden, wdw_ref, th, w, fpad):
+def dw_gelu_gate_microtile(hidden_ref, gated_ref, wdw_ref, th, w, fpad):
     """Fused depthwise-3x3 + gelu-gate over register-resident microtiles.
 
     The statement-per-pass form (dwconv3x3_stripe + the gelu/gate chain)
@@ -232,60 +232,97 @@ def dw_gelu_gate_microtile(hidden, wdw_ref, th, w, fpad):
     (8-sublane x 128-lane) output microtiles in a fori_loop keeping both
     gate accumulators AND the whole gelu chain in vector registers: per
     gated element ~18 tile loads + 1 store instead of ~60 streamed
-    passes' worth of traffic.
+    passes' worth of traffic. Ref-based (pl.load/pl.store into VMEM
+    scratch) so the loop carries no arrays.
 
-    hidden: (th+2, wp, 2*fpad) fp32 (border cols/rows already zeroed via
-    the y mask). Returns gated (th, w, fpad) fp32. Requires w % 8 == 0.
+    hidden_ref: (th+2, wp, 2*fpad) fp32 scratch, pre-filled (border
+    cols/rows already zeroed via the y mask); gated_ref: (th, w, fpad)
+    fp32 scratch this fills. Requires w % 8 == 0.
     """
     nw = w // 8
     ngroups = fpad // 128
 
-    def body(t, out):
+    def body(t, carry):
         r = t // nw
-        ws = (t % nw) * 8
+        # Mosaic vector loads need sublane starts provably 8-aligned: load
+        # aligned 16-sublane windows and take the dj shifts as STATIC
+        # register slices (also 3x fewer loads than per-tap loads)
+        ws = pl.multiple_of((t % nw) * 8, 8)
         for g in range(ngroups):
+            lanes1 = slice(g * 128, (g + 1) * 128)
+            lanes2 = slice(fpad + g * 128, fpad + (g + 1) * 128)
             a1 = jnp.zeros((8, 128), jnp.float32)
             a2 = jnp.zeros((8, 128), jnp.float32)
             for di in range(3):
+                t1 = hidden_ref[r + di, pl.ds(ws, 16), lanes1]
+                t2 = hidden_ref[r + di, pl.ds(ws, 16), lanes2]
                 for dj in range(3):
-                    w1t = wdw_ref[di, dj, g * 128 : (g + 1) * 128].astype(
-                        jnp.float32
-                    )
-                    w2t = wdw_ref[
-                        di, dj, fpad + g * 128 : fpad + (g + 1) * 128
+                    a1 = a1 + t1[dj : dj + 8] * wdw_ref[
+                        di, dj, lanes1
                     ].astype(jnp.float32)
-                    s1 = jax.lax.dynamic_slice(
-                        hidden, (r + di, ws + dj, g * 128), (1, 8, 128)
-                    ).reshape(8, 128)
-                    s2 = jax.lax.dynamic_slice(
-                        hidden, (r + di, ws + dj, fpad + g * 128), (1, 8, 128)
-                    ).reshape(8, 128)
-                    a1 = a1 + s1 * w1t
-                    a2 = a2 + s2 * w2t
+                    a2 = a2 + t2[dj : dj + 8] * wdw_ref[
+                        di, dj, lanes2
+                    ].astype(jnp.float32)
             gelu = a1 * (0.5 + 0.5 * _erf(a1 * 0.7071067811865476))
-            out = jax.lax.dynamic_update_slice(
-                out, (gelu * a2)[None], (r, ws, g * 128)
-            )
-        return out
+            gated_ref[r, pl.ds(ws, 8), lanes1] = gelu * a2
+        return carry
 
-    out0 = jnp.zeros((th, w, fpad), jnp.float32)
-    return jax.lax.fori_loop(0, th * nw, body, out0)
+    jax.lax.fori_loop(0, th * nw, body, 0)
 
 
-# flip to route ln_gdfn_stripe through the microtile path (kbench A/B and
-# the fused-op entry points set this; module-level so the shared stripe
-# body stays signature-compatible with its two kernel callers)
+def dwconv3x3_microtile(hidden_ref, out_ref, wdw_ref, th, w):
+    """Plain depthwise-3x3 over register microtiles (no gate): the stats
+    kernel's variant of dw_gelu_gate_microtile — per output element 9
+    tile loads + 1 store instead of 9 read-modify-write passes.
+    hidden_ref: (th+2, wp, L) fp32; out_ref: (th, w, L) fp32; L the
+    lane-padded channel count. Requires w % 8 == 0."""
+    nw = w // 8
+    ngroups = out_ref.shape[-1] // 128
+
+    def body(t, carry):
+        r = t // nw
+        ws = pl.multiple_of((t % nw) * 8, 8)
+        for g in range(ngroups):
+            lanes = slice(g * 128, (g + 1) * 128)
+            a = jnp.zeros((8, 128), jnp.float32)
+            for di in range(3):
+                tdi = hidden_ref[r + di, pl.ds(ws, 16), lanes]
+                for dj in range(3):
+                    a = a + tdi[dj : dj + 8] * wdw_ref[
+                        di, dj, lanes
+                    ].astype(jnp.float32)
+            out_ref[r, pl.ds(ws, 8), lanes] = a
+        return carry
+
+    jax.lax.fori_loop(0, th * nw, body, 0)
+
+
+# Flip to route the stripe bodies through the microtile path
+# (PROMPTIR_MICROTILE=1; kbench A/B). MEASURED SLOWER on v5e:
+# 28.9 vs 18.6 ms (gdfn kernel, 8x512^2x96 bf16) despite ~3x less
+# theoretical VMEM traffic — the per-microtile fori_loop body (scalar
+# address computation + unpipelined (8/16,128)-granule loads + a
+# serialized gelu chain per tile) costs more than the full-stripe
+# streaming passes it replaces. Mosaic's big-op streaming at ~0.4 ms per
+# 128-lane pass IS the practical optimum for these elementwise sections;
+# kept (off by default, interpret-parity-tested) as the documented
+# negative result and a revisit point if Mosaic learns to software-
+# pipeline loop bodies. First attempt (value-carried fori accumulating
+# into a loop-carried array) did not even compile in 30 min; the
+# ref-based form needs the pl.multiple_of sublane-alignment hints below.
 MICROTILE = _os.environ.get("PROMPTIR_MICROTILE", "0") == "1"
 
 
 def ln_gdfn_stripe(xf, i, lnw_ref, lnb_ref, w1_ref, wdw_ref, w2_ref,
                    io_dtype, *, th, w, wp, c_real, bias_free, eps,
-                   num_i=None):
+                   num_i=None, mt_refs=None):
     """GDFN(LN(stripe)) — the body shared by the standalone LN+GDFN kernel
     and the fused block tail (ops/pallas/block.py). xf: (th+2, wp, cp)
     fp32 with zero-padded channels; returns (th, w, cp) fp32 (no residual).
     `num_i` overrides the stripe count for the border mask when the grid
-    has extra programs (ops/pallas/megablock.py)."""
+    has extra programs (ops/pallas/megablock.py). `mt_refs` = (hidden,
+    gated) VMEM scratch refs routes the dw+gelu+gate section through the
+    register-microtile loop (dw_gelu_gate_microtile)."""
     cp = xf.shape[-1]
     two_fp = w1_ref.shape[-1]
     fp = two_fp // 2
@@ -305,10 +342,11 @@ def ln_gdfn_stripe(xf, i, lnw_ref, lnb_ref, w1_ref, wdw_ref, w2_ref,
         preferred_element_type=jnp.float32,
     ).reshape(th + 2, wp, two_fp)
 
-    if MICROTILE and w % 8 == 0:
-        gated = dw_gelu_gate_microtile(hidden, wdw_ref, th, w, fp).astype(
-            io_dtype
-        )
+    if mt_refs is not None and w % 8 == 0:
+        hidden_ref, gated_ref = mt_refs
+        hidden_ref[:] = hidden
+        dw_gelu_gate_microtile(hidden_ref, gated_ref, wdw_ref, th, w, fp)
+        gated = gated_ref[:].astype(io_dtype)
     else:
         acc = dwconv3x3_stripe(hidden, wdw_ref, th, w)
 
@@ -327,7 +365,8 @@ def ln_gdfn_stripe(xf, i, lnw_ref, lnb_ref, w1_ref, wdw_ref, w2_ref,
 
 
 def _kernel(xb_ref, x_hbm, lnw_ref, lnb_ref, w1_ref, wdw_ref, w2_ref,
-            out_ref, halo_ref, sem, *, th, w, wp, c_real, bias_free, eps):
+            out_ref, halo_ref, sem, *mt_refs, th, w, wp, c_real,
+            bias_free, eps):
     i = pl.program_id(1)
     bi = pl.program_id(0)
 
@@ -343,6 +382,7 @@ def _kernel(xb_ref, x_hbm, lnw_ref, lnb_ref, w1_ref, wdw_ref, w2_ref,
     out = ln_gdfn_stripe(
         xf, i, lnw_ref, lnb_ref, w1_ref, wdw_ref, w2_ref, xt.dtype,
         th=th, w=w, wp=wp, c_real=c_real, bias_free=bias_free, eps=eps,
+        mt_refs=mt_refs if mt_refs else None,
     )
     residual = xf[1 : th + 1, 1 : w + 1, :]
     out_ref[0] = (out + residual).astype(out_ref.dtype)
@@ -442,7 +482,15 @@ def fused_ln_gdfn(
         scratch_shapes=[
             pltpu.VMEM((2, 2, wp, cp), dtype),
             pltpu.SemaphoreType.DMA((2, 2)),
-        ],
+        ]
+        + (
+            [
+                pltpu.VMEM((th + 2, wp, 2 * fpad), jnp.float32),
+                pltpu.VMEM((th, w, fpad), jnp.float32),
+            ]
+            if MICROTILE and w % 8 == 0
+            else []
+        ),
         cost_estimate=pl.CostEstimate(
             flops=flops,
             bytes_accessed=2 * b * h * w * cp * 2,

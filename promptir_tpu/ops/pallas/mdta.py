@@ -54,7 +54,8 @@ def _pick_th(h: int, w: int, cp: int, vmem_budget=None):
 
 
 def stats_stripe(xf, j, lnw_ref, lnb_ref, wqkv_ref, wdw_ref, io_dtype,
-                 *, th, w, wp, c_real, cp, bias_free, eps, qkp, num_j=None):
+                 *, th, w, wp, c_real, cp, bias_free, eps, qkp, num_j=None,
+                 mt_refs=None):
     """The stats compute for ONE (th+2, wp, cp) fp32 window of stripe j:
     LN -> border-masked qkv matmul -> depthwise taps -> split into
     (v, s_qk, ssq_q, ssq_k) partial statistics (NOT yet accumulated across
@@ -75,7 +76,13 @@ def stats_stripe(xf, j, lnw_ref, lnb_ref, wqkv_ref, wdw_ref, io_dtype,
         preferred_element_type=jnp.float32,
     ).reshape(th + 2, wp, wqkv_ref.shape[-1])
 
-    acc = _gdfn_mod.dwconv3x3_stripe(qkv, wdw_ref, th, w)
+    if mt_refs is not None and w % 8 == 0:
+        hidden_ref, acc_ref = mt_refs
+        hidden_ref[:] = qkv
+        _gdfn_mod.dwconv3x3_microtile(hidden_ref, acc_ref, wdw_ref, th, w)
+        acc = acc_ref[:]
+    else:
+        acc = _gdfn_mod.dwconv3x3_stripe(qkv, wdw_ref, th, w)
 
     if qkp:
         slab = acc[:, :, :qkp].reshape(-1, qkp)
@@ -111,7 +118,7 @@ def stats_stripe(xf, j, lnw_ref, lnb_ref, wqkv_ref, wdw_ref, io_dtype,
 
 def _kernel_a(xb_ref, x_hbm, lnw_ref, lnb_ref, wqkv_ref, wdw_ref,
               v_ref, sqk_ref, ssqq_ref, ssqk_ref, halo_ref, sem,
-              *, th, w, wp, c_real, cp, bias_free, eps, qkp=0):
+              *mt_refs, th, w, wp, c_real, cp, bias_free, eps, qkp=0):
     """qkp > 0 selects the packed-qk layout: qkv columns are
     [q: c_real | k: c_real | zero-pad to qkp | v: zero-pad to cp] instead of
     three cp-padded slabs. For C=48 (the full-resolution level) that cuts
@@ -134,6 +141,7 @@ def _kernel_a(xb_ref, x_hbm, lnw_ref, lnb_ref, wqkv_ref, wdw_ref,
         xt.astype(jnp.float32), i, lnw_ref, lnb_ref, wqkv_ref, wdw_ref,
         xt.dtype, th=th, w=w, wp=wp, c_real=c_real, cp=cp,
         bias_free=bias_free, eps=eps, qkp=qkp,
+        mt_refs=mt_refs if mt_refs else None,
     )
     v_ref[0] = v.astype(v_ref.dtype)
 
@@ -402,7 +410,15 @@ def mdta_stats(
         scratch_shapes=[
             pltpu.VMEM((2, 2, wp, cp), dtype),
             pltpu.SemaphoreType.DMA((2, 2)),
-        ],
+        ]
+        + (
+            [
+                pltpu.VMEM((th + 2, wp, width), jnp.float32),
+                pltpu.VMEM((th, w, width), jnp.float32),
+            ]
+            if _gdfn_mod.MICROTILE and w % 8 == 0
+            else []
+        ),
         compiler_params=pltpu.CompilerParams(
             # i accumulates S across stripes: must stay sequential
             dimension_semantics=("parallel", "arbitrary"),

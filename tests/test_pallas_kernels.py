@@ -48,6 +48,50 @@ def test_fused_ln_gdfn_matches_reference():
                                atol=2e-5)
 
 
+def test_microtile_paths_match_streaming():
+    """The register-microtile dw/gelu/gate variants (MICROTILE=1: aligned
+    16-sublane loads + static register shifts, PROFILE.md rationale) must
+    be bit-identical to the streaming form through both the GDFN kernel
+    and the whole fused block (stats dw + tail)."""
+    import promptir_tpu.ops.pallas.gdfn as gmod
+    from promptir_tpu.ops.pallas.block import fused_transformer_block
+
+    rng = np.random.default_rng(5)
+    try:
+        for c, heads in [(48, 1), (96, 2)]:
+            f = int(c * 2.66)
+            lnw, lnb, w1, wdw, w2 = _weights(c, f)
+            x = jnp.asarray(
+                rng.normal(size=(1, 8, 16, c)).astype(np.float32)
+            )
+            gmod.MICROTILE = False
+            y0 = fused_ln_gdfn(x, lnw, lnb, w1, wdw, w2, interpret=True)
+            gmod.MICROTILE = True
+            y1 = fused_ln_gdfn(x, lnw, lnb, w1, wdw, w2, interpret=True)
+            np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))
+
+            n = lambda *s, sc=0.05: jnp.asarray(  # noqa: E731
+                rng.normal(size=s).astype(np.float32) * sc
+            )
+            attn_w = (
+                n(c) + 1, n(c), n(c, 3 * c), n(3, 3, 3 * c, sc=0.2),
+                n(c, c), jnp.ones((heads,)),
+            )
+            gmod.MICROTILE = False
+            b0 = fused_transformer_block(
+                x, *attn_w, heads, lnw, lnb, w1, wdw, w2, interpret=True
+            )
+            gmod.MICROTILE = True
+            b1 = fused_transformer_block(
+                x, *attn_w, heads, lnw, lnb, w1, wdw, w2, interpret=True
+            )
+            np.testing.assert_array_equal(np.asarray(b0), np.asarray(b1))
+    finally:
+        gmod.MICROTILE = (
+            __import__("os").environ.get("PROMPTIR_MICROTILE", "0") == "1"
+        )
+
+
 def test_fused_ln_gdfn_odd_stripes_and_batch():
     """Odd stripe count + odd batch exercises the pipelined halo fetch's
     ping-pong slot transitions, including the cross-image boundary where
