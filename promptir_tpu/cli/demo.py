@@ -33,6 +33,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--mesh", action="store_true",
         help="shard the tile batch over all devices (multi-chip tiling)",
     )
+    p.add_argument(
+        "--spatial", action="store_true",
+        help="shard each image's H axis over all devices with exact "
+             "in-model collectives (parallel/spatial.py) — one image, "
+             "all chips, bit-identical to single-chip output",
+    )
     return p
 
 
@@ -95,6 +101,42 @@ def main(argv=None):
                 chunk=args.tile_chunk,
                 mesh=mesh,
             )
+        elif args.spatial:
+            if getattr(args, "fused", False):
+                raise SystemExit(
+                    "--spatial needs the unfused op path (drop --fused): "
+                    "the Pallas kernels are single-chip"
+                )
+            if args.model != "promptir":
+                # exactness is proven for the PromptIR op set (MDTA/GDFN/
+                # prompts/resample); window-attention and camixer families
+                # would need their own collective handling
+                raise SystemExit(
+                    "--spatial currently supports --model promptir "
+                    "(validated exact); use --tile --mesh for other models"
+                )
+            from promptir_tpu.parallel.mesh import create_mesh
+            from promptir_tpu.parallel.spatial import spatial_sharded_apply
+
+            smesh = create_mesh()
+            n = smesh.shape["data"]
+            try:
+                xp = pad_to_multiple_reflect(x, 8 * n)
+            except ValueError:
+                # reflect needs pad < dim; tiny images fall back to
+                # symmetric (duplicated-edge) padding — cropped off anyway
+                from promptir_tpu.eval.padding import target_size
+
+                th_, tw_ = target_size(h, w, 8 * n)
+                xp = jnp.pad(
+                    x, ((0, 0), (0, th_ - h), (0, tw_ - w), (0, 0)),
+                    mode="symmetric",
+                )
+            y = spatial_sharded_apply(
+                lambda p, t: model.apply({"params": p}, t), params, xp,
+                smesh,
+            )
+            y = jnp.clip(y[:, :h, :w, :], 0.0, 1.0)
         else:
             xp = pad_to_multiple_reflect(x, 8)
             y = jnp.clip(model_fn(params, xp)[:, :h, :w, :], 0.0, 1.0)

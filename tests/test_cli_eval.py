@@ -126,3 +126,25 @@ def test_cli_demo_padded_and_tiled(corpus, tmp_path):
     assert p2.exists() and Image.open(p2).size == (48, 32)
     arr = np.asarray(Image.open(p2))
     assert arr.shape == (32, 48, 3)
+
+
+@pytest.mark.slow
+def test_cli_demo_spatial_sharded_matches_single_chip(corpus, tmp_path):
+    """--spatial (exact H-sharded multi-chip inference) must produce the
+    same PNG as the single-chip demo path on the 8-device CPU mesh."""
+    from promptir_tpu.cli.demo import main
+
+    # 64x64 source: crop-16 and both pad paths leave it unchanged, so the
+    # two CLI paths run the model on identical input
+    src = str(tmp_path / "sq" / "img0.png")
+    _write_png(src, (64, 64), 99)
+    out_s = tmp_path / "demo_spatial"
+    main(["--test_path", src, "--output_path", str(out_s),
+          "--spatial", *TINY])
+    out_p = tmp_path / "demo_plain2"
+    main(["--test_path", src, "--output_path", str(out_p), *TINY])
+    a = np.asarray(Image.open(out_s / "img0.png")).astype(np.int16)
+    b = np.asarray(Image.open(out_p / "img0.png")).astype(np.int16)
+    assert a.shape == b.shape
+    # identical math up to psum reassociation -> at most 1 uint8 step
+    assert np.abs(a - b).max() <= 1

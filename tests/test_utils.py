@@ -49,6 +49,45 @@ def test_niqe_gated():
         pass
 
 
+def test_init_weights_helpers():
+    """normal/xavier/kaiming/orthogonal re-initializers (reference
+    utils/image_utils.py:185-252): kernels only, exact torch statistics,
+    unknown types rejected."""
+    import jax
+    import jax.numpy as jnp
+
+    from promptir_tpu.utils.init import init_weights
+
+    params = {
+        "conv": {"kernel": jnp.zeros((3, 3, 16, 32)), "bias": jnp.zeros((32,))},
+        "dense": {"kernel": jnp.zeros((64, 8))},
+        "norm": {"weight": jnp.ones((16,))},
+    }
+    fan_in = 3 * 3 * 16
+    p = init_weights(params, "normal", jax.random.PRNGKey(1))
+    k = np.asarray(p["conv"]["kernel"])
+    assert 0.0 <= k.min() and k.max() <= 0.02  # torch init.uniform(0, 0.02)
+    assert float(np.abs(np.asarray(p["conv"]["bias"])).max()) == 0.0
+    assert float(np.asarray(p["norm"]["weight"]).min()) == 1.0  # untouched
+
+    p = init_weights(params, "kaiming", jax.random.PRNGKey(2))
+    std = float(np.asarray(p["conv"]["kernel"]).std())
+    assert abs(std - (2.0 / fan_in) ** 0.5) < 0.01
+
+    p = init_weights(params, "xavier", jax.random.PRNGKey(3))
+    std = float(np.asarray(p["conv"]["kernel"]).std())
+    assert abs(std - (2.0 / (fan_in + 2 * 9 * 16)) ** 0.5) < 0.01
+
+    p = init_weights(params, "orthogonal", jax.random.PRNGKey(4))
+    flat = np.asarray(p["conv"]["kernel"]).transpose(3, 2, 0, 1).reshape(32, -1)
+    np.testing.assert_allclose(flat @ flat.T, np.eye(32), atol=1e-5)
+
+    import pytest
+
+    with pytest.raises(NotImplementedError, match="bogus"):
+        init_weights(params, "bogus")
+
+
 def test_niqe_committed_model_out_of_box():
     """The package ships a fitted pristine model (eval/niqe_model.npz, fit
     on a generated clean corpus via cli/fit_niqe) so `compute_niqe` works
