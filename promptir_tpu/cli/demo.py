@@ -70,6 +70,26 @@ def main(argv=None):
     from promptir_tpu.utils.compile_cache import enable_persistent_cache
     from promptir_tpu.utils.image_io import save_image
 
+    if args.tile and args.spatial:
+        raise SystemExit(
+            "--tile and --spatial are mutually exclusive: tiled "
+            "overlap-blending is approximate at seams, --spatial is the "
+            "exact multi-chip path (use --tile --mesh for sharded tiling)"
+        )
+    if args.spatial and getattr(args, "fused", False):
+        raise SystemExit(
+            "--spatial needs the unfused op path (drop --fused): "
+            "the Pallas kernels are single-chip"
+        )
+    if args.spatial and args.model != "promptir":
+        # exactness is proven for the PromptIR op set (MDTA/GDFN/prompts/
+        # resample); window-attention and camixer families would need
+        # their own collective handling
+        raise SystemExit(
+            "--spatial currently supports --model promptir "
+            "(validated exact); use --tile --mesh for other models"
+        )
+
     enable_persistent_cache()
     model = create_model(args.model, **model_kwargs(args))
     params = load_params(model, args.ckpt_name)
@@ -80,6 +100,16 @@ def main(argv=None):
 
         mesh = create_mesh()
         params = jax.device_put(params, replicated(mesh))
+
+    smesh = None
+    if args.spatial:
+        from promptir_tpu.parallel.mesh import create_mesh, replicated
+
+        smesh = create_mesh()
+        # place the replicated params once; the per-image device_put in
+        # spatial_sharded_apply is then a no-op instead of a ~140MB
+        # re-broadcast per image
+        params = jax.device_put(params, replicated(smesh))
 
     @jax.jit
     def model_fn(p, x):
@@ -102,23 +132,8 @@ def main(argv=None):
                 mesh=mesh,
             )
         elif args.spatial:
-            if getattr(args, "fused", False):
-                raise SystemExit(
-                    "--spatial needs the unfused op path (drop --fused): "
-                    "the Pallas kernels are single-chip"
-                )
-            if args.model != "promptir":
-                # exactness is proven for the PromptIR op set (MDTA/GDFN/
-                # prompts/resample); window-attention and camixer families
-                # would need their own collective handling
-                raise SystemExit(
-                    "--spatial currently supports --model promptir "
-                    "(validated exact); use --tile --mesh for other models"
-                )
-            from promptir_tpu.parallel.mesh import create_mesh
             from promptir_tpu.parallel.spatial import spatial_sharded_apply
 
-            smesh = create_mesh()
             n = smesh.shape["data"]
             try:
                 xp = pad_to_multiple_reflect(x, 8 * n)

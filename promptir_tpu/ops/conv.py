@@ -66,7 +66,21 @@ class Conv(nn.Conv):
                 xh = exchange_rows(x, halo, axis)
                 y = super().__call__(xh)
                 return y[:, halo:-halo]
+            if self._h_extent() > 1:
+                # spatially coupled but not halo-eligible (strided, even
+                # kernel, string padding, dilation): running it per-shard
+                # would be silently inexact at every stripe seam
+                raise NotImplementedError(
+                    "spatial sharding: no exact halo plan for Conv("
+                    f"kernel_size={self.kernel_size}, strides={self.strides},"
+                    f" padding={self.padding}) — only stride-1 odd-kernel "
+                    "convs with symmetric explicit padding are supported"
+                )
         return super().__call__(x)
+
+    def _h_extent(self) -> int:
+        ks = self.kernel_size
+        return ks if isinstance(ks, int) else ks[0]
 
 
 Dense = partial(nn.Dense, kernel_init=torch_kernel_init)

@@ -49,7 +49,10 @@ def _pick_th_tail(h, w, cp, two_f, vmem_budget=None):
         hidden = (th + 2) * wp * two_fp * 4
         acc = th * w * two_fp * 4
         out = th * w * cp * 4 * 2
-        if x_blocks + v_blocks + x2 + hidden + acc + out < vmem_budget:
+        total = x_blocks + v_blocks + x2 + hidden + acc + out
+        if _gdfn_mod.MICROTILE:
+            total += hidden + acc // 2  # persistent A/B-path scratch
+        if total < vmem_budget:
             return th
     return None
 

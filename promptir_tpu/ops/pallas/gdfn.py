@@ -62,7 +62,12 @@ def _pick_th(h: int, w: int, c: int, two_f: int, vmem_budget=None):
         hidden = (th + 2) * (w + 8) * _lanes(two_f) * 4  # fp32 hidden
         acc = th * w * _lanes(two_f) * 4
         out = th * w * _lanes(c) * 4
-        if x_bytes + hidden + acc + out < vmem_budget:
+        total = x_bytes + hidden + acc + out
+        if MICROTILE:
+            # persistent hidden + gated scratch on top of the streamed
+            # working set (the A/B experiment path)
+            total += hidden + acc // 2
+        if total < vmem_budget:
             return th
     return None
 

@@ -48,7 +48,11 @@ def _pick_th(h: int, w: int, cp: int, vmem_budget=None):
         qkv_bytes = (th + 2) * (w + 8) * 3 * cp * 4 * 2  # fp32 qkv
         x_bytes = (th + 2) * (w + 8) * cp * 2 * 2
         s_bytes = cp * cp * 4 * 2
-        if qkv_bytes + x_bytes + s_bytes < vmem_budget:
+        total = qkv_bytes + x_bytes + s_bytes
+        if _gdfn_mod.MICROTILE:
+            # persistent hidden + dw-output scratch (A/B experiment path)
+            total += (2 * th + 2) * (w + 8) * 3 * cp * 4
+        if total < vmem_budget:
             return th
     return None
 

@@ -59,9 +59,8 @@ def init_weights(params, init_type: str = "normal", rng=None):
         )
     rng = jax.random.PRNGKey(0) if rng is None else rng
 
-    flat = jax.tree_util.tree_flatten_with_path(params)
-    leaves, treedef = jax.tree_util.tree_flatten(params)
-    keys = jax.random.split(rng, len(flat[0]))
+    flat_items, treedef = jax.tree_util.tree_flatten_with_path(params)
+    keys = jax.random.split(rng, len(flat_items))
 
     def reinit(key, path, leaf):
         name = str(path[-1].key) if path else ""
@@ -97,6 +96,6 @@ def init_weights(params, init_type: str = "normal", rng=None):
 
     new_leaves = [
         reinit(k, path, leaf)
-        for k, (path, leaf) in zip(keys, flat[0])
+        for k, (path, leaf) in zip(keys, flat_items)
     ]
     return jax.tree_util.tree_unflatten(treedef, new_leaves)

@@ -72,20 +72,21 @@ STAGE_PATTERNS = [
     (re.compile(r"down3_4"), "down3_4"),
     (re.compile(r"latent"), "latent 64px C384"),
     (re.compile(r"prompt3"), "prompt3"),
-    (re.compile(r"noise_level3"), "noise_level3 C704"),
+    # reduce_* before their substrings (first match wins)
     (re.compile(r"reduce_noise_level3"), "reduce_nl3"),
+    (re.compile(r"noise_level3"), "noise_level3 C704"),
     (re.compile(r"up4_3"), "up4_3"),
     (re.compile(r"reduce_chan_level3"), "reduce_ch3"),
     (re.compile(r"decoder_level3"), "dec3 128px C192"),
     (re.compile(r"prompt2"), "prompt2"),
-    (re.compile(r"noise_level2"), "noise_level2 C320"),
     (re.compile(r"reduce_noise_level2"), "reduce_nl2"),
+    (re.compile(r"noise_level2"), "noise_level2 C320"),
     (re.compile(r"up3_2"), "up3_2"),
     (re.compile(r"reduce_chan_level2"), "reduce_ch2"),
     (re.compile(r"decoder_level2"), "dec2 256px C96"),
     (re.compile(r"prompt1"), "prompt1"),
-    (re.compile(r"noise_level1"), "noise_level1 C160"),
     (re.compile(r"reduce_noise_level1"), "reduce_nl1"),
+    (re.compile(r"noise_level1"), "noise_level1 C160"),
     (re.compile(r"up2_1"), "up2_1"),
     (re.compile(r"decoder_level1"), "dec1 512px C96"),
     (re.compile(r"refinement"), "refine 512px C96"),
