@@ -81,13 +81,18 @@ def main(argv=None):
             "--spatial needs the unfused op path (drop --fused): "
             "the Pallas kernels are single-chip"
         )
-    if args.spatial and args.model != "promptir":
-        # exactness is proven for the PromptIR op set (MDTA/GDFN/prompts/
-        # resample); window-attention and camixer families would need
-        # their own collective handling
+    # exactness is proven (tests/test_halo.py) for the MDTA/GDFN/OCAB/
+    # prompt/Easy/NAF op sets; the Uformer (shifted windows) and CAMixer
+    # (flow_warp, routers) families raise from their ops instead of
+    # computing silently-wrong seams
+    SPATIAL_MODELS = {
+        "promptir", "xrestormerir", "promptxrestormerir",
+        "promptxrestormereffir", "easypromptxrestormer", "nafnet",
+    }
+    if args.spatial and args.model not in SPATIAL_MODELS:
         raise SystemExit(
-            "--spatial currently supports --model promptir "
-            "(validated exact); use --tile --mesh for other models"
+            f"--spatial supports {sorted(SPATIAL_MODELS)} (validated "
+            "exact); use --tile --mesh for other models"
         )
 
     enable_persistent_cache()

@@ -48,7 +48,16 @@ class PromptXBlock(nn.Module):
             nn.initializers.uniform(scale=1.0),
             (self.prompt_len, self.prompt_size, self.prompt_size, self.prompt_dim),
         )
+        # sharded trace: GAP -> pmean, resize at global row coords (see
+        # ops/prompt.py PromptGenBlock — same recipe for this inline copy)
+        import jax as _jax
+
+        from promptir_tpu.parallel.spatial import current_spatial_axis
+
+        _axis = current_spatial_axis()
         emb = jnp.mean(x, axis=(1, 2))
+        if _axis is not None:
+            emb = _jax.lax.pmean(emb, _axis)
         weights = nn.softmax(
             Dense(self.prompt_len, dtype=self.dtype, name="linear_layer")(
                 emb
@@ -58,7 +67,13 @@ class PromptXBlock(nn.Module):
         prompt = jnp.einsum(
             "bl,lhwc->bhwc", weights, bank.astype(jnp.float32)
         ).astype(x.dtype)
-        prompt = resize_bilinear(prompt, (h, w), align_corners=True)
+        if _axis is not None:
+            n = _jax.lax.axis_size(_axis)
+            full = resize_bilinear(prompt, (h * n, w), align_corners=True)
+            start = _jax.lax.axis_index(_axis) * h
+            prompt = _jax.lax.dynamic_slice_in_dim(full, start, h, axis=1)
+        else:
+            prompt = resize_bilinear(prompt, (h, w), align_corners=True)
         prompt = Conv(
             self.prompt_dim, (3, 3), padding=((1, 1), (1, 1)),
             use_bias=False, dtype=self.dtype, name="conv3x3",
@@ -121,6 +136,12 @@ class PromptXRestormer(XRestormer):
         d = self.dim
         nb = self.num_blocks
         if self.scale > 1:
+            from promptir_tpu.parallel.spatial import current_spatial_axis
+
+            if current_spatial_axis() is not None:
+                raise NotImplementedError(
+                    "spatial sharding does not support scale > 1"
+                )
             b, h, w, _ = inp_img.shape
             inp_img = resize_bilinear(
                 inp_img, (h * self.scale, w * self.scale), align_corners=False

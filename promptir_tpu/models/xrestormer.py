@@ -147,6 +147,14 @@ class XRestormer(nn.Module):
         d = self.dim
         nb = self.num_blocks
         if self.scale > 1:
+            from promptir_tpu.parallel.spatial import current_spatial_axis
+
+            if current_spatial_axis() is not None:
+                # the input upscale interpolates across stripe boundaries;
+                # no exact sharded plan implemented for SR mode
+                raise NotImplementedError(
+                    "spatial sharding does not support scale > 1"
+                )
             b, h, w, _ = inp_img.shape
             inp_img = resize_bilinear(
                 inp_img, (h * self.scale, w * self.scale), align_corners=False

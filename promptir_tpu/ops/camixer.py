@@ -158,6 +158,19 @@ def _from_windows(x: jnp.ndarray, win: int, h: int, w: int) -> jnp.ndarray:
     return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h, w, c)
 
 
+def _reject_spatial_sharding(what: str):
+    from promptir_tpu.parallel.spatial import current_spatial_axis
+
+    if current_spatial_axis() is not None:
+        # flow_warp samples at unbounded offsets and the routers make
+        # per-window global decisions; no exact sharded plan — fail
+        # loudly instead of producing silently-wrong seams
+        raise NotImplementedError(
+            f"spatial sharding does not support {what}; use tiled "
+            "inference (--tile --mesh)"
+        )
+
+
 class CAMixerV1(nn.Module):
     """Deformable-key window attention with routed hard/easy branches."""
 
@@ -174,6 +187,7 @@ class CAMixerV1(nn.Module):
         condition_global: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
     ):
+        _reject_spatial_sharding("CAMixer v1 (flow_warp deformable keys)")
         b, h, w, c = x.shape
         win = self.window_size
         v = Conv(c, (1, 1), use_bias=self.use_bias, dtype=self.dtype,
@@ -253,6 +267,7 @@ class CAMixerV2(nn.Module):
         condition_global: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
     ):
+        _reject_spatial_sharding("CAMixer v2 (routed window attention)")
         b, h, w, c = x.shape
         win = self.window_size
         ow = int(win * self.overlap_ratio) + win

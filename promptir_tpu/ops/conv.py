@@ -66,6 +66,10 @@ class Conv(nn.Conv):
                 xh = exchange_rows(x, halo, axis)
                 y = super().__call__(xh)
                 return y[:, halo:-halo]
+            if self._nonoverlapping(x):
+                # stride == kernel patch conv (e.g. NAFNet's 2x2/s2 down):
+                # windows never cross stripe seams — shard-local exact
+                return super().__call__(x)
             if self._h_extent() > 1:
                 # spatially coupled but not halo-eligible (strided, even
                 # kernel, string padding, dilation): running it per-shard
@@ -81,6 +85,32 @@ class Conv(nn.Conv):
     def _h_extent(self) -> int:
         ks = self.kernel_size
         return ks if isinstance(ks, int) else ks[0]
+
+    def _nonoverlapping(self, x) -> bool:
+        """stride == kernel with no effective padding and H % stride == 0:
+        every window lies inside one stripe."""
+        if x.ndim != 4:
+            return False
+        ks = self.kernel_size
+        ks = (ks, ks) if isinstance(ks, int) else tuple(ks)
+        st = self.strides
+        if st is None:
+            st = (1, 1)
+        elif isinstance(st, int):
+            st = (st, st)
+        else:
+            st = tuple(st)
+        if st != ks:
+            return False
+        pad = self.padding
+        pad_ok = pad == "VALID" or (
+            isinstance(pad, (tuple, list))
+            and all(tuple(p) == (0, 0) for p in pad)
+        )
+        # SAME == VALID when the dims divide the stride exactly
+        if pad == "SAME" and x.shape[1] % ks[0] == 0 and x.shape[2] % ks[1] == 0:
+            pad_ok = True
+        return pad_ok and x.shape[1] % ks[0] == 0
 
 
 Dense = partial(nn.Dense, kernel_init=torch_kernel_init)

@@ -85,7 +85,10 @@ class EasyChannelAttention(nn.Module):
                  use_bias=True, dtype=self.dtype, name="conv2")(y)
         y = simple_gate(y)
         # simplified channel attention: global-average-pooled 1x1 scale
-        pooled = jnp.mean(y, axis=(1, 2), keepdims=True)
+        # (sharding-aware: pmean under a spatial-sharding trace)
+        from promptir_tpu.parallel.spatial import global_mean_hw
+
+        pooled = global_mean_hw(y)
         scale = Conv(c // 2, (1, 1), use_bias=True, dtype=self.dtype,
                      name="sca_1")(pooled)
         y = y * scale
@@ -227,9 +230,18 @@ class NAFBlock(nn.Module):
                  use_bias=True, dtype=self.dtype, name="conv2")(x)
         x = simple_gate(x)
         if self.tlc_kernel is not None:
+            from promptir_tpu.parallel.spatial import current_spatial_axis
+
+            if current_spatial_axis() is not None:
+                # TLC windows are ~half-image sized; no exact halo plan
+                raise NotImplementedError(
+                    "spatial sharding does not support the TLC local pool"
+                )
             pooled = local_avg_pool(x, self.tlc_kernel)
         else:
-            pooled = jnp.mean(x, axis=(1, 2), keepdims=True)
+            from promptir_tpu.parallel.spatial import global_mean_hw
+
+            pooled = global_mean_hw(x)
         x = x * Conv(dw // 2, (1, 1), use_bias=True, dtype=self.dtype,
                      name="sca_1")(pooled)
         x = Conv(c, (1, 1), use_bias=True, dtype=self.dtype, name="conv3")(x)

@@ -24,17 +24,24 @@ from flax import linen as nn
 from promptir_tpu.ops.conv import Conv
 
 
-def extract_overlapping_windows(x: jnp.ndarray, win: int, ow: int) -> jnp.ndarray:
+def extract_overlapping_windows(
+    x: jnp.ndarray, win: int, ow: int, h_prepadded: bool = False
+) -> jnp.ndarray:
     """(B,H,W,C) -> (B, nh*nw, ow*ow, C): zero-padded halo windows.
 
     Window i covers rows [i*win - pad, i*win - pad + ow) with
     pad = (ow - win)//2, matching torch Unfold(kernel=ow, stride=win,
-    padding=pad).
+    padding=pad). `h_prepadded=True` means x already carries the `pad`
+    top/bottom rows (the spatially-sharded caller supplies neighbor rows
+    there instead of zeros); only W is padded then.
     """
     b, h, w, c = x.shape
     pad = (ow - win) // 2
+    if h_prepadded:
+        h = h - 2 * pad
     nh, nw = h // win, w // win
-    xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    hpad = (0, 0) if h_prepadded else (pad, pad)
+    xp = jnp.pad(x, ((0, 0), hpad, (pad, pad), (0, 0)))
     # Gather along H: rows for window i are i*win + (0..ow-1) in padded coords
     row_idx = (np.arange(nh)[:, None] * win + np.arange(ow)[None, :]).reshape(-1)
     col_idx = (np.arange(nw)[:, None] * win + np.arange(ow)[None, :]).reshape(-1)
@@ -122,8 +129,32 @@ class OCAB(nn.Module):
         # q: non-overlapping windows -> (B, nwin, win^2, inner)
         qs = qs.reshape(b, nh, win, nw, win, inner)
         qs = qs.transpose(0, 1, 3, 2, 4, 5).reshape(b, nwin, win * win, inner)
-        ks = extract_overlapping_windows(ks, win, ow)
-        vs = extract_overlapping_windows(vs, win, ow)
+        # Under a spatial-sharding trace (parallel/spatial.py): q windows
+        # are shard-local (stripe heights divide `win`); the k/v halo rows
+        # come from the neighbor shards over ICI instead of the zero pad —
+        # zeros remain at the global borders, so this is bit-identical to
+        # the reference's Unfold zero padding.
+        from promptir_tpu.parallel.spatial import (
+            current_spatial_axis,
+            exchange_rows,
+        )
+
+        axis = current_spatial_axis()
+        if axis is not None:
+            assert h % win == 0, (
+                f"sharded OCAB needs stripe height {h} divisible by the "
+                f"window size {win}"
+            )
+            pad = (ow - win) // 2
+            ks = extract_overlapping_windows(
+                exchange_rows(ks, pad, axis), win, ow, h_prepadded=True
+            )
+            vs = extract_overlapping_windows(
+                exchange_rows(vs, pad, axis), win, ow, h_prepadded=True
+            )
+        else:
+            ks = extract_overlapping_windows(ks, win, ow)
+            vs = extract_overlapping_windows(vs, win, ow)
 
         # split heads: channel = head*dim_head + c (reference '(head c)')
         d = self.dim_head

@@ -191,6 +191,16 @@ class WindowAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, attn_kv=None, mask: Optional[jnp.ndarray] = None):
+        from promptir_tpu.parallel.spatial import current_spatial_axis
+
+        if current_spatial_axis() is not None:
+            # the Uformer family's shifted windows roll the sharded H axis
+            # (a cross-shard permute); no exact sharded plan implemented —
+            # fail loudly instead of producing silently-wrong seams
+            raise NotImplementedError(
+                "spatial sharding does not support the Uformer window-"
+                "attention family; use tiled inference (--tile --mesh)"
+            )
         bn, n, c = x.shape
         d = self.dim // self.num_heads
         scale = d ** -0.5

@@ -70,6 +70,17 @@ def exchange_rows(x: jnp.ndarray, halo: int, axis: str) -> jnp.ndarray:
     return exchange_halo(x, halo, axis, border="zeros")
 
 
+def global_mean_hw(x: jnp.ndarray, keepdims: bool = True) -> jnp.ndarray:
+    """Mean over (H, W) of an NHWC tensor that stays GLOBAL under a
+    spatial-sharding trace (equal stripes -> pmean of local means). The
+    one-liner every GAP/SCA-style op should use instead of jnp.mean."""
+    m = jnp.mean(x, axis=(1, 2), keepdims=keepdims)
+    axis = current_spatial_axis()
+    if axis is not None:
+        m = jax.lax.pmean(m, axis)
+    return m
+
+
 def local_rows(h_global: int, axis: str) -> tuple[jnp.ndarray, int]:
     """(start_row, rows_per_shard) of this shard's stripe."""
     n = jax.lax.axis_size(axis)

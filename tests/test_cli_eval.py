@@ -128,6 +128,30 @@ def test_cli_demo_padded_and_tiled(corpus, tmp_path):
     assert arr.shape == (32, 48, 3)
 
 
+def test_cli_psnr_offline_recompute(tmp_path):
+    """Offline dir-vs-dir PSNR/SSIM (reference compute_baseline_psnr.py):
+    GT larger than restored gets cropped; identical images give inf/1."""
+    from promptir_tpu.cli.psnr import main
+
+    rdir, gdir = tmp_path / "restored", tmp_path / "gt"
+    _write_png(str(rdir / "a.png"), (32, 48), 1)
+    # GT 1px larger each way (the reference's 321x481-vs-320x480 case)
+    img = np.asarray(Image.open(rdir / "a.png"))
+    os.makedirs(gdir, exist_ok=True)
+    Image.fromarray(np.pad(img, ((0, 1), (0, 1), (0, 0)), mode="edge")).save(
+        gdir / "a.png"
+    )
+    _write_png(str(rdir / "b.png"), (32, 48), 2)
+    _write_png(str(gdir / "b.png"), (32, 48), 3)
+
+    r = main(["--restored", str(rdir), "--gt", str(gdir),
+              "--json", str(tmp_path / "p.json")])
+    assert r["n"] == 2
+    d = json.loads((tmp_path / "p.json").read_text())
+    assert d["a"] > 80  # identical after crop
+    assert np.isfinite(d["b"]) and d["b"] < d["a"]
+
+
 @pytest.mark.slow
 def test_cli_demo_spatial_sharded_matches_single_chip(corpus, tmp_path):
     """--spatial (exact H-sharded multi-chip inference) must produce the

@@ -71,6 +71,127 @@ def test_spatial_sharded_apply_promptir_exact():
     )
 
 
+@pytest.mark.slow
+def test_spatial_sharded_ocab_exact():
+    """Sharded OCAB: k/v halo rows come from neighbors over ppermute
+    (zeros at global borders) — must equal the unsharded op exactly."""
+    from promptir_tpu.ops.ocab import OCAB
+    from promptir_tpu.parallel.spatial import spatial_sharded_apply
+
+    m = OCAB(dim=16, window_size=8, overlap_ratio=0.5, num_heads=2)
+    x = jnp.asarray(
+        np.random.default_rng(3).normal(size=(1, 64, 32, 16)).astype(np.float32)
+    )
+    params = m.init(jax.random.PRNGKey(0), x)
+    mesh = create_mesh()
+    y_sharded = spatial_sharded_apply(
+        lambda p, t: m.apply(p, t), params, x, mesh
+    )
+    y_ref = m.apply(params, x)
+    np.testing.assert_allclose(
+        np.asarray(y_sharded), np.asarray(y_ref), rtol=2e-5, atol=2e-5
+    )
+
+
+@pytest.mark.slow
+def test_spatial_sharded_apply_promptxrestormer_exact():
+    """Exact multi-chip forward of the X-Restormer family U-Net (OCAB
+    spatial attention + PromptXBlock prompts): every level's stripes stay
+    window-aligned at H=512 over 8 shards."""
+    from promptir_tpu.parallel.spatial import spatial_sharded_apply
+
+    model = create_model(
+        "promptxrestormerir", num_blocks=(1, 1, 1, 1),
+        num_refinement_blocks=1,
+    )
+    x = jnp.asarray(
+        np.random.default_rng(4).uniform(size=(1, 512, 64, 3)).astype(np.float32)
+    )
+    params = model.init(jax.random.PRNGKey(0), x)
+
+    def fn(p, xs):
+        return model.apply(p, xs)
+
+    mesh = create_mesh()
+    y_sharded = spatial_sharded_apply(fn, params, x, mesh)
+    y_ref = fn(params, x)
+    np.testing.assert_allclose(
+        np.asarray(y_sharded), np.asarray(y_ref), rtol=5e-5, atol=5e-5
+    )
+
+
+@pytest.mark.slow
+def test_spatial_sharded_nafnet_exact():
+    """NAFNet sharded: non-overlapping 2x2/s2 downs are shard-local, the
+    SCA global pool becomes a pmean — exact vs single-chip."""
+    from promptir_tpu.parallel.spatial import spatial_sharded_apply
+
+    model = create_model(
+        "nafnet", width=8, middle_blk_num=1, enc_blk_nums=(1, 1),
+        dec_blk_nums=(1, 1),
+    )
+    x = jnp.asarray(
+        np.random.default_rng(5).uniform(size=(1, 64, 32, 3)).astype(np.float32)
+    )
+    params = model.init(jax.random.PRNGKey(0), x)
+    mesh = create_mesh()
+    y_sharded = spatial_sharded_apply(
+        lambda p, t: model.apply(p, t), params, x, mesh
+    )
+    y_ref = model.apply(params, x)
+    np.testing.assert_allclose(
+        np.asarray(y_sharded), np.asarray(y_ref), rtol=2e-5, atol=2e-5
+    )
+
+
+@pytest.mark.slow
+def test_spatial_sharded_easy_promptxrestormer_exact():
+    """All-cheap family sharded: Easy blocks (SCA pmean, conv halos) +
+    PromptGen pmean — exact vs single-chip."""
+    from promptir_tpu.parallel.spatial import spatial_sharded_apply
+
+    model = create_model(
+        "easypromptxrestormer", num_blocks=(1, 1, 1, 1),
+        num_refinement_blocks=1,
+    )
+    x = jnp.asarray(
+        np.random.default_rng(6).uniform(size=(1, 64, 32, 3)).astype(np.float32)
+    )
+    params = model.init(jax.random.PRNGKey(0), x)
+    mesh = create_mesh()
+    y_sharded = spatial_sharded_apply(
+        lambda p, t: model.apply(p, t), params, x, mesh
+    )
+    y_ref = model.apply(params, x)
+    np.testing.assert_allclose(
+        np.asarray(y_sharded), np.asarray(y_ref), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_sharding_guards_fail_loudly():
+    """Families without an exact sharded plan must raise, not silently
+    compute wrong seams."""
+    from promptir_tpu.parallel.spatial import spatial_sharding
+
+    from promptir_tpu.ops.window_attention import WindowAttention
+
+    m = WindowAttention(dim=16, win_size=4, num_heads=2)
+    x = jnp.zeros((4, 16, 16))
+    p = m.init(jax.random.PRNGKey(0), x)
+    with spatial_sharding("data"):
+        with pytest.raises(NotImplementedError, match="window"):
+            m.apply(p, x)
+
+    from promptir_tpu.ops.conv import Conv as HaloConv
+
+    c = HaloConv(8, (4, 4), strides=(2, 2))  # overlapping strided conv
+    xc = jnp.zeros((1, 8, 8, 3))
+    pc = c.init(jax.random.PRNGKey(0), xc)
+    with spatial_sharding("data"):
+        with pytest.raises(NotImplementedError, match="halo plan"):
+            c.apply(pc, xc)
+
+
 def test_spatial_sharded_apply_rejects_bad_height():
     from promptir_tpu.parallel.spatial import spatial_sharded_apply
 
