@@ -1,0 +1,120 @@
+"""Tensor parallelism for the block matmuls (megatron-style, gate-aware).
+
+The reference has no TP (its only strategy is DDP, train.py:339); SURVEY
+§2.7 lists channel sharding of MDTA/GDFN as the optional TP row. This
+module implements it the TPU way for the dominant matmul pair — GDFN's
+project_in / project_out — under `shard_map` over a `model` mesh axis:
+
+  * column-parallel W1 with a GATE-AWARE split: W1's output columns are
+    [x1-half | x2-half] and `gelu(x1) * x2` pairs column i with i + F, so
+    each chip takes the SAME slice of both halves — the gate (and the
+    depthwise 3x3, which is per-channel) stays chip-local with zero
+    communication;
+  * row-parallel W2: each chip contracts its F/n hidden slice and the
+    partial outputs are summed with one `psum` over ICI — the single
+    collective of the whole FFN.
+
+Weights stay in the flax checkpoint layout; `shard_gdfn_params` slices
+them per chip (a host-side relayout, not a redefinition), so TP composes
+with the existing converter and checkpoints.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def shard_gdfn_params(gdfn_params: dict, n: int) -> dict:
+    """Split a GDFN param subtree {project_in, dwconv, project_out} into n
+    gate-aware shards stacked on a leading axis (shard k holds x1 columns
+    [k*F/n, (k+1)*F/n) AND the matching x2 columns)."""
+    w1 = gdfn_params["project_in"]["kernel"]  # (1,1,C,2F) conv kernel
+    wdw = gdfn_params["dwconv"]["kernel"]  # (3,3,1,2F) depthwise
+    w2 = gdfn_params["project_out"]["kernel"]  # (1,1,F,C)
+    two_f = w1.shape[-1]
+    f = two_f // 2
+    # the reference's F = int(2.66*dim) (127/255/510...) rarely divides n:
+    # pad the hidden with inert zero columns (gelu(0)*0 through zero W2
+    # rows adds exactly nothing) so every chip gets an equal slice
+    fp = -(-f // n) * n
+    fs = fp // n
+
+    def pad_cols(w):
+        cfg = [(0, 0)] * (w.ndim - 1) + [(0, fp - f)]
+        return jnp.pad(w, cfg)
+
+    def split_half_pair(w, axis):
+        x1 = pad_cols(jnp.moveaxis(w, axis, -1)[..., :f])
+        x2 = pad_cols(jnp.moveaxis(w, axis, -1)[..., f:])
+        shards = [
+            jnp.concatenate(
+                [x1[..., k * fs : (k + 1) * fs], x2[..., k * fs : (k + 1) * fs]],
+                axis=-1,
+            )
+            for k in range(n)
+        ]
+        return jnp.stack([jnp.moveaxis(s, -1, axis) for s in shards])
+
+    w1_s = split_half_pair(w1, -1)  # (n,1,1,C,2*fs)
+    wdw_s = split_half_pair(wdw, -1)  # (n,3,3,1,2*fs)
+    w2_p = jnp.pad(w2, ((0, 0),) * (w2.ndim - 2) + ((0, fp - f), (0, 0)))
+    w2_s = jnp.stack(
+        [w2_p[..., k * fs : (k + 1) * fs, :] for k in range(n)]
+    )  # (n,1,1,fs,C)
+    return {"w1": w1_s, "wdw": wdw_s, "w2": w2_s}
+
+
+def _gdfn_shard_fn(shard, x, axis):
+    """One chip's slice of GDFN(x): local matmuls + dwconv + gate, one
+    psum for the row-parallel output contraction."""
+    w1 = shard["w1"][0]
+    wdw = shard["wdw"][0]
+    w2 = shard["w2"][0]
+    two_fs = w1.shape[-1]
+    fs = two_fs // 2
+    y = jax.lax.conv_general_dilated(
+        x, w1, (1, 1), ((0, 0), (0, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    y = jax.lax.conv_general_dilated(
+        y, wdw, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=two_fs,
+    )
+    y1, y2 = y[..., :fs], y[..., fs:]
+    y = jax.nn.gelu(y1, approximate=False) * y2
+    out = jax.lax.conv_general_dilated(
+        y, w2, (1, 1), ((0, 0), (0, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return jax.lax.psum(out, axis)
+
+
+def tp_gdfn_apply(
+    gdfn_params: dict,
+    x: jnp.ndarray,
+    mesh: Mesh,
+    axis: str = "model",
+) -> jnp.ndarray:
+    """GDFN forward with the hidden dimension sharded over `axis`.
+
+    Numerically identical (up to psum reassociation) to the GDFN module's
+    forward with the same params; the input/output stay replicated over
+    `axis` (compose with batch sharding on the other mesh axis for 2-D
+    DP x TP).
+    """
+    n = mesh.shape[axis]
+    shards = shard_gdfn_params(gdfn_params, n)
+
+    fn = jax.shard_map(
+        lambda s, t: _gdfn_shard_fn(s, t, axis),
+        mesh=mesh,
+        in_specs=(P(axis), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    xs = jax.device_put(x, NamedSharding(mesh, P()))
+    ss = jax.device_put(shards, NamedSharding(mesh, P(axis)))
+    return fn(ss, xs)

@@ -127,3 +127,29 @@ def test_sharded_tiled_inference_matches_single():
     np.testing.assert_allclose(
         np.asarray(y_mesh), np.asarray(y_single), rtol=1e-6, atol=1e-6
     )
+
+
+def test_tp_gdfn_matches_module():
+    """Gate-aware megatron TP of the GDFN matmul pair (parallel/tp.py):
+    column-parallel W1 (same slice of both gate halves per chip, local
+    gelu/dwconv), row-parallel W2 with one psum — must match the module."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from promptir_tpu.ops.gdfn import GDFN
+    from promptir_tpu.parallel.mesh import create_mesh
+    from promptir_tpu.parallel.tp import tp_gdfn_apply
+
+    m = GDFN(48, 2.66, use_bias=False)
+    x = jnp.asarray(
+        np.random.default_rng(7).normal(size=(2, 8, 8, 48)).astype(np.float32)
+    )
+    params = m.init(jax.random.PRNGKey(0), x)
+    y_ref = m.apply(params, x)
+
+    mesh = create_mesh(n_data=1, n_model=8)
+    y_tp = tp_gdfn_apply(params["params"], x, mesh, axis="model")
+    np.testing.assert_allclose(
+        np.asarray(y_tp), np.asarray(y_ref), rtol=2e-5, atol=2e-5
+    )
