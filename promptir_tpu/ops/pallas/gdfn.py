@@ -72,25 +72,29 @@ def _pick_th(h: int, w: int, c: int, two_f: int, vmem_budget=None):
     return None
 
 
-def _erf(x):
-    """Rational P4(t)/Q3(t) minimax erf on |x| <= 4.2 (t = x^2; max abs
-    err 4.0e-6 in fp32 Horner, clamp-only — erf(4.2) is within 3e-9 of
-    saturation, so no branch/select is needed for the tails).
+def _erf_invsqrt2(x):
+    """Rational P4(t)/Q3(t) minimax for erf(x/sqrt(2)) on |x| <= 4.2*sqrt2
+    (t = x^2; max abs err 4.0e-6 erf-space / 1.5e-5 gelu-space in fp32
+    Horner, clamp-only — erf(4.2) is within 3e-9 of saturation, so no
+    branch/select is needed for the tails). The gelu's 1/sqrt(2) argument
+    scale is absorbed into the coefficients (tools/fit_erf.py), saving one
+    full-stripe VPU multiply pass per gelu vs scaling the argument.
 
     Mosaic has no erf primitive, and v5e has no bf16 comparison, so the
     tails are handled by the fp32 clamp alone (no jnp.where / sign).
-    Q's roots are all at t < 0: no poles on the clamped range. The 4e-6
-    error is far below the 2e-5 kernel parity tolerance. (The exp-based
-    A&S 7.1.26 form measured the same speed as a same-width rational —
-    op-pass count is what matters on this VPU, not transcendental cost.)"""
+    Q's roots are all at t < 0: no poles on the clamped range. The error
+    is below the 2e-5 kernel parity tolerance. (The exp-based A&S 7.1.26
+    form measured the same speed as a same-width rational — op-pass count
+    is what matters on this VPU, not transcendental cost.)"""
     p0, p1, p2, p3, p4 = (
-        1.1284071030975196, 0.16202105529524835, 0.048114942079628055,
-        0.0011439347156276083, -5.216197331668721e-06,
+        0.7979043150908658, 0.05728321232279784, 0.008505673201182817,
+        0.00010111308896982461, -2.3053941838259433e-07,
     )
     q1, q2, q3 = (
-        0.47714287679192297, 0.10112276101874638, 0.011476074450298614,
+        0.23857159256247892, 0.025280799432728717, 0.001434531404306148,
     )
-    u = jnp.clip(x.astype(jnp.float32), -4.2, 4.2).astype(x.dtype)
+    u = jnp.clip(x.astype(jnp.float32), -5.939696961967, 5.939696961967)
+    u = u.astype(x.dtype)
     t = u * u
     num = ((((p4 * t + p3) * t + p2) * t + p1) * t) + p0
     den = ((q3 * t + q2) * t + q1) * t + 1.0
@@ -268,7 +272,7 @@ def dw_gelu_gate_microtile(hidden_ref, gated_ref, wdw_ref, th, w, fpad):
                     a2 = a2 + t2[dj : dj + 8] * wdw_ref[
                         di, dj, lanes2
                     ].astype(jnp.float32)
-            gelu = a1 * (0.5 + 0.5 * _erf(a1 * 0.7071067811865476))
+            gelu = a1 * (0.5 + 0.5 * _erf_invsqrt2(a1))
             gated_ref[r, pl.ds(ws, 8), lanes1] = gelu * a2
         return carry
 
@@ -359,7 +363,7 @@ def ln_gdfn_stripe(xf, i, lnw_ref, lnb_ref, w1_ref, wdw_ref, w2_ref,
         x2 = acc[:, :, fp:]
         # exact (erf) gelu — erf approximated in-kernel (no Mosaic
         # primitive)
-        gelu = x1 * (0.5 + 0.5 * _erf(x1 * 0.7071067811865476))
+        gelu = x1 * (0.5 + 0.5 * _erf_invsqrt2(x1))
         gated = (gelu * x2).astype(io_dtype)
 
     return jax.lax.dot_general(

@@ -131,7 +131,7 @@ def main():
     if args.ablate_gelu:
         import promptir_tpu.ops.pallas.gdfn as g
 
-        g._erf = lambda x: x  # isolate the transcendental's cost
+        g._erf_invsqrt2 = lambda x: x  # isolate the transcendental's cost
 
     if args.ablate_dw:
         import promptir_tpu.ops.pallas.gdfn as g
