@@ -232,7 +232,8 @@ class TransformerBlock(nn.Module):
         return x
 
 
-def apply_block_stack(blocks, x, *, fused: bool, expansion: float = 2.66):
+def apply_block_stack(blocks, x, *, fused: bool, expansion: float = 2.66,
+                      in_padded=None, out_padded: bool = False):
     """Run a uniform sequence of TransformerBlocks.
 
     When the whole-block fused path applies, the blocks are chained in the
@@ -240,25 +241,43 @@ def apply_block_stack(blocks, x, *, fused: bool, expansion: float = 2.66):
     instead of per-block XLA pad/slice copies (~1.7 ms each at the
     full-resolution level of a batch-8 512px forward). Falls back to the
     plain per-block loop whenever the fused path wouldn't run.
-    """
+
+    `in_padded=(w, c)` declares x already in the pad_nhwc layout (zero
+    borders) — the entry pad is skipped, or the layout unpadded on
+    fallback. With `out_padded=True` the return is `(y, padded)` where
+    `padded` is `(w, c)` if y was left in the padded layout (the caller
+    owns the exit slice — e.g. hands it to a padded-input conv head) and
+    None if y is plain NHWC."""
+    from promptir_tpu.ops.pallas.block import pad_nhwc, unpad_nhwc
+
+    def _ret(y, padded):
+        return (y, padded) if out_padded else y
+
     if not blocks:
-        return x
+        return _ret(x, in_padded)
     blk = blocks[0]
     fused = fused and len(blocks) > 1 and blk.fused_ffn and not blk.use_bias
     if fused:
         from promptir_tpu.ops.pallas.autodiff import block_fits
-        from promptir_tpu.ops.pallas.block import pad_nhwc, unpad_nhwc
 
-        _, h, w, c = x.shape
+        if in_padded is not None:
+            _, h, _, _ = x.shape
+            w, c = in_padded
+        else:
+            _, h, w, c = x.shape
         two_f = 2 * int(c * expansion)
         if block_fits(h, w, c, two_f, blk.num_heads):
-            xp = pad_nhwc(x)
+            xp = x if in_padded is not None else pad_nhwc(x)
             for b in blocks:
                 xp = b(xp, padded_shape=(w, c))
+            if out_padded:
+                return xp, (w, c)
             return unpad_nhwc(xp, w, c)
+    if in_padded is not None:
+        x = unpad_nhwc(x, *in_padded)
     for b in blocks:
         x = b(x)
-    return x
+    return _ret(x, None)
 
 
 class DeadConv(nn.Module):

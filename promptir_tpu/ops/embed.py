@@ -5,10 +5,27 @@ Parity target: /root/reference/net/model.py:202-211.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from promptir_tpu.ops.conv import Conv, Dense
+from promptir_tpu.utils.init import torch_kernel_init
+
+
+class _ProjParams(nn.Module):
+    """Conv params with the same path/init as `Conv(name="proj")`."""
+
+    shape: tuple
+    use_bias: bool
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", torch_kernel_init, self.shape)
+        b = None
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.shape[-1],))
+        return k, b
 
 
 class OverlapPatchEmbed(nn.Module):
@@ -17,7 +34,40 @@ class OverlapPatchEmbed(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, padded_out: bool = False):
+        if padded_out:
+            # Emit directly into the fused kernels' pad_nhwc layout
+            # (B, H, wp, cp): the RGB input is column-padded (3 channels —
+            # cheap) and the kernel's OUTPUT channels zero-widened to cp,
+            # so the conv itself writes the lane-padded buffer and the
+            # usual layout-fix copy + entry pad of the first block stack
+            # (~6.5 ms at 512^2 batch 16) never materialize. The border
+            # columns come out of the conv nonzero (they see real pixels);
+            # the column mask restores the layout's zero-border contract
+            # and XLA fuses it into the conv epilogue.
+            cp = -(-self.embed_dim // 128) * 128
+            b_, h_, w_, cin = x.shape
+            wp = w_ + 2 + ((-(w_ + 2)) % 8)
+            k, bias = _ProjParams(
+                (3, 3, cin, self.embed_dim), self.use_bias, name="proj"
+            )()
+            kw = jnp.pad(k, ((0, 0), (0, 0), (0, 0),
+                             (0, cp - self.embed_dim)))
+            xin = jnp.pad(
+                x.astype(self.dtype), ((0, 0), (0, 0), (1, wp - w_ - 1),
+                                       (0, 0))
+            )
+            y = jax.lax.conv_general_dilated(
+                xin, kw.astype(self.dtype),
+                window_strides=(1, 1), padding=((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            if bias is not None:
+                bw = jnp.pad(bias, (0, cp - self.embed_dim))
+                y = y + bw.astype(y.dtype)
+            cols = jnp.arange(wp)
+            mask = (cols >= 1) & (cols <= w_)
+            return y * mask[None, None, :, None].astype(y.dtype)
         return Conv(
             self.embed_dim,
             (3, 3),

@@ -38,7 +38,8 @@ def _pick_th_tail(h, w, cp, two_f, vmem_budget=None):
     8x512^2x96) re-measured SLOWER (31.5 vs 28.8 ms whole-block) — the
     bigger working set starves the auto-pipeline's double buffering."""
     vmem_budget = _gdfn_mod.VMEM_BUDGET if vmem_budget is None else vmem_budget
-    two_fp = _lanes(two_f)
+    s = _gdfn_mod._mxu_pairs(_lanes(two_f // 2))
+    two_fv = 2 * (_lanes(two_f // 2) - s)
     wp = w + 2 + ((-(w + 2)) % 8)
     for th in (32, 16, 8, 4, 2):
         if h % th:
@@ -46,10 +47,13 @@ def _pick_th_tail(h, w, cp, two_f, vmem_budget=None):
         x_blocks = (th + 2) * wp * cp * 2 * 2      # x stripe (dbl-buffered)
         v_blocks = (th + 2) * w * cp * 2 * 2       # v stripe
         x2 = (th + 2) * wp * cp * 4                # fp32 x2
-        hidden = (th + 2) * wp * two_fp * 4
-        acc = th * w * two_fp * 4
+        hidden = (th + 2) * wp * two_fv * 4 if two_fv else 0
+        acc = th * w * two_fv * 4 if two_fv else 0
         out = th * w * cp * 4 * 2
         total = x_blocks + v_blocks + x2 + hidden + acc + out
+        if s:
+            total += th * w * 9 * cp * 2   # im2col (io dtype)
+            total += th * w * 2 * s * 4    # fp32 m-accumulator
         if _gdfn_mod.MICROTILE:
             total += hidden + acc // 2  # persistent A/B-path scratch
         if total < vmem_budget:
@@ -71,9 +75,19 @@ def unpad_nhwc(xp: jnp.ndarray, w: int, c: int) -> jnp.ndarray:
 
 
 def _tail_kernel(vb_ref, xb_ref, v_hbm, x_hbm, attn_ref, wproj_ref,
-                 lnw_ref, lnb_ref, w1_ref, wdw_ref, w2_ref, out_ref,
-                 vhalo_ref, xhalo_ref, sem, *mt_refs, th, w, wp, c_real,
-                 bias_free, eps, pad_out=False):
+                 lnw_ref, lnb_ref, w1_ref, wdw_ref, w2_ref, *rest, th, w,
+                 wp, c_real, bias_free, eps, pad_out=False, s=0):
+    if s:
+        w1m_ref, *rest = rest
+    else:
+        w1m_ref = None
+    out_ref, vhalo_ref, xhalo_ref, sem, *extra = rest
+    if s:
+        yim_ref = extra[-1]
+        mt_refs = extra[:-1]
+    else:
+        yim_ref = None
+        mt_refs = extra
     cp = xb_ref.shape[-1]
     i = pl.program_id(1)
     bi = pl.program_id(0)
@@ -115,7 +129,8 @@ def _tail_kernel(vb_ref, xb_ref, v_hbm, x_hbm, attn_ref, wproj_ref,
     ffn = _gdfn_mod.ln_gdfn_stripe(
         x2, i, lnw_ref, lnb_ref, w1_ref, wdw_ref, w2_ref, xt.dtype,
         th=th, w=w, wp=wp, c_real=c_real, bias_free=bias_free, eps=eps,
-        mt_refs=mt_refs if mt_refs else None,
+        mt_refs=mt_refs if mt_refs else None, w1m_ref=w1m_ref, s=s,
+        yim_ref=yim_ref,
     )
     residual = x2[1 : th + 1, 1 : w + 1, :]
     res = (ffn + residual).astype(out_ref.dtype)
@@ -186,23 +201,16 @@ def fused_block_tail(
 
     lnw_p = _pad_last(ln_w, cp)
     lnb_p = _pad_last(ln_b, cp)
-    w1_p = jnp.concatenate(
-        [
-            _pad_last(jnp.pad(w1[:, :f], ((0, cp - c), (0, 0))), fpad),
-            _pad_last(jnp.pad(w1[:, f:], ((0, cp - c), (0, 0))), fpad),
-        ],
-        axis=-1,
-    )
-    wdw_p = jnp.concatenate(
-        [_pad_last(wdw[:, :, :f], fpad), _pad_last(wdw[:, :, f:], fpad)],
-        axis=-1,
+    s = _gdfn_mod._mxu_pairs(fpad)
+    w1m_p, w1_p, wdw_p = _gdfn_mod._split_dw_weights(
+        w1, wdw, c, f, cp, fpad, s
     )
     w2_p = jnp.pad(w2, ((0, fpad - f), (0, cp - c)))
     wproj_p = jnp.pad(w_proj, ((0, cp - c), (0, cp - c)))
 
     kern = functools.partial(
         _tail_kernel, th=th, w=w, wp=wp, c_real=c, bias_free=bias_free,
-        eps=eps, pad_out=padded_out,
+        eps=eps, pad_out=padded_out, s=s,
     )
     out_w = wp if padded_out else w
     grid = (b, h // th)
@@ -230,16 +238,27 @@ def fused_block_tail(
             pl.BlockSpec((cp,), lambda *_: (0,), memory_space=pltpu.VMEM),
             pl.BlockSpec((cp,), lambda *_: (0,), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (cp, 2 * fpad), lambda *_: (0, 0), memory_space=pltpu.VMEM
+                (cp, w1_p.shape[-1]), lambda *_: (0, 0),
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (3, 3, 2 * fpad), lambda *_: (0, 0, 0),
+                (3, 3, w1_p.shape[-1]), lambda *_: (0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (fpad, cp), lambda *_: (0, 0), memory_space=pltpu.VMEM
             ),
-        ],
+        ]
+        + (
+            [
+                pl.BlockSpec(
+                    (9 * cp, 2 * s), lambda *_: (0, 0),
+                    memory_space=pltpu.VMEM,
+                )
+            ]
+            if s
+            else []
+        ),
         out_specs=pl.BlockSpec(
             (1, th, out_w, cp), lambda bi, i: (bi, i, 0, 0),
             memory_space=pltpu.VMEM,
@@ -257,7 +276,8 @@ def fused_block_tail(
             ]
             if _gdfn_mod.MICROTILE and w % 8 == 0
             else []
-        ),
+        )
+        + ([pltpu.VMEM((th, w, 9 * cp), dtype)] if s else []),
         compiler_params=pltpu.CompilerParams(
             # stripes sequential so the pipelined halo prefetch is sound
             dimension_semantics=("parallel", "arbitrary"),
@@ -266,7 +286,7 @@ def fused_block_tail(
         interpret=interpret,
     )(v, xp, v, xp, attn, wproj_p.astype(dtype), lnw_p.astype(dtype),
       lnb_p.astype(dtype), w1_p.astype(dtype), wdw_p.astype(dtype),
-      w2_p.astype(dtype))
+      w2_p.astype(dtype), *([w1m_p.astype(dtype)] if s else []))
     if padded_out:
         return out
     return out[:, :, :, :c] if cp != c else out

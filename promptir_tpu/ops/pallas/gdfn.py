@@ -47,22 +47,85 @@ VMEM_BUDGET = int(_os.environ.get("PROMPTIR_VMEM_BUDGET_MB", "44")) * 2**20
 VMEM_LIMIT = int(_os.environ.get("PROMPTIR_VMEM_LIMIT_MB", "100")) * 2**20
 
 
-def _pick_th(h: int, w: int, c: int, two_f: int, vmem_budget=None):
+def _mxu_pairs(fpad: int) -> int:
+    """Hybrid-dw split point: how many gate-pair channels (of the fpad
+    padded pairs) the depthwise 3x3 computes on the MXU as im2col
+    tap-matmuls instead of VPU shifted FMAs (see ln_gdfn_stripe).
+
+    The kernels are VPU-pass-count-bound with the MXU mostly hidden
+    (PROFILE.md): routing a lane-multiple of pairs through the expansion
+    matmul trades 9 FMA passes per 128 pair-lanes for MXU FLOPs that
+    overlap the remaining VPU work. PROMPTIR_DW_MXU_FRAC (0..1, default
+    0) picks the fraction, rounded to a 128-lane multiple; the microtile
+    experiment path bypasses it."""
+    if MICROTILE:
+        return 0
+    frac = float(_os.environ.get("PROMPTIR_DW_MXU_FRAC", "0"))
+    # nearest-128 with half-up so frac=0.5 at fpad=128 means "all MXU"
+    s = int(fpad * frac / 128.0 + 0.5) * 128
+    return max(0, min(fpad, s))
+
+
+def _split_dw_weights(w1, wdw, c, f, cp, fpad, s):
+    """Weight prep for the hybrid dw split at pair channel `s`.
+
+    Returns (w1m, w1v, wdwv): `w1m` is (9*cp, 2s) — tap-row blocks in the
+    stripe body's im2col order (di-major, dj-minor), each block
+    W1[:, pair]*dw[di,dj,pair] for the first s pairs of BOTH gate halves
+    — and `w1v`/`wdwv` carry pairs [s, fpad) in the usual padded-half
+    layout. s=0 reproduces the plain (w1_p, wdw_p) layout with w1m=None;
+    s=fpad returns inert zero v-weights (the kernel skips them
+    statically)."""
+    h1 = _pad_last(jnp.pad(w1[:, :f], ((0, cp - c), (0, 0))), fpad)
+    h2 = _pad_last(jnp.pad(w1[:, f:], ((0, cp - c), (0, 0))), fpad)
+    d1 = _pad_last(wdw[:, :, :f], fpad)
+    d2 = _pad_last(wdw[:, :, f:], fpad)
+    fv = fpad - s
+    if fv:
+        w1v = jnp.concatenate([h1[:, s:], h2[:, s:]], axis=-1)
+        wdwv = jnp.concatenate([d1[..., s:], d2[..., s:]], axis=-1)
+    else:
+        w1v = jnp.zeros((cp, 256), w1.dtype)
+        wdwv = jnp.zeros((3, 3, 256), wdw.dtype)
+    if s == 0:
+        return None, w1v, wdwv
+    taps = [
+        jnp.concatenate(
+            [
+                h1[:, :s] * d1[di, dj, :s][None, :],
+                h2[:, :s] * d2[di, dj, :s][None, :],
+            ],
+            axis=-1,
+        )
+        for di in range(3)
+        for dj in range(3)
+    ]
+    return jnp.concatenate(taps, axis=0), w1v, wdwv
+
+
+def _pick_th(h: int, w: int, c: int, two_f: int, vmem_budget=None, s=None):
     """Largest row-stripe height whose working set fits VMEM.
 
     Taller stripes matter more than VMEM frugality: the 2 halo rows mean
     (th+2)/th overcompute on LN + the expansion matmul + the taps, and each
     program pays fixed DMA/issue overhead — th=4 measured ~25% slower than
-    th=16 at 4x512^2x48 on v5e (128 MB VMEM)."""
+    th=16 at 4x512^2x48 on v5e (128 MB VMEM). `s` = hybrid-dw MXU pair
+    count (adds the im2col + fp32 m-accumulator, shrinks the VPU hidden)."""
     vmem_budget = VMEM_BUDGET if vmem_budget is None else vmem_budget
+    if s is None:
+        s = _mxu_pairs(two_f // 2)
+    two_fv = two_f - 2 * s
     for th in (64, 32, 16, 8, 4, 2):
         if h % th:
             continue
         x_bytes = (th + 2) * (w + 8) * _lanes(c) * 2 * 2  # tile + LN copy
-        hidden = (th + 2) * (w + 8) * _lanes(two_f) * 4  # fp32 hidden
-        acc = th * w * _lanes(two_f) * 4
+        hidden = (th + 2) * (w + 8) * _lanes(two_fv) * 4 if two_fv else 0
+        acc = th * w * _lanes(two_fv) * 4 if two_fv else 0
         out = th * w * _lanes(c) * 4
         total = x_bytes + hidden + acc + out
+        if s:
+            total += th * w * 9 * _lanes(c) * 2  # im2col (io dtype)
+            total += th * w * 2 * s * 4  # fp32 m-accumulator
         if MICROTILE:
             # persistent hidden + gated scratch on top of the streamed
             # working set (the A/B experiment path)
@@ -324,58 +387,107 @@ MICROTILE = _os.environ.get("PROMPTIR_MICROTILE", "0") == "1"
 
 def ln_gdfn_stripe(xf, i, lnw_ref, lnb_ref, w1_ref, wdw_ref, w2_ref,
                    io_dtype, *, th, w, wp, c_real, bias_free, eps,
-                   num_i=None, mt_refs=None):
+                   num_i=None, mt_refs=None, w1m_ref=None, s=0,
+                   yim_ref=None):
     """GDFN(LN(stripe)) — the body shared by the standalone LN+GDFN kernel
     and the fused block tail (ops/pallas/block.py). xf: (th+2, wp, cp)
     fp32 with zero-padded channels; returns (th, w, cp) fp32 (no residual).
     `num_i` overrides the stripe count for the border mask when the grid
     has extra programs (ops/pallas/megablock.py). `mt_refs` = (hidden,
     gated) VMEM scratch refs routes the dw+gelu+gate section through the
-    register-microtile loop (dw_gelu_gate_microtile)."""
+    register-microtile loop (dw_gelu_gate_microtile).
+
+    Hybrid dw (`s` > 0, weights from _split_dw_weights): the first `s`
+    gate pairs' expansion AND depthwise 3x3 are one im2col tap-matmul on
+    the MXU — dw(W1 y)[p] = sum_tap (W1 * dw_tap) y[p+tap], contraction
+    over 9*cp — trading 9 VPU FMA passes per 128 pair-lanes for MXU
+    FLOPs that overlap the remaining VPU work. Pairs [s, fpad) go
+    through the usual VPU path on the v-weights; the gated concat keeps
+    pair order, so w2 is unchanged."""
     cp = xf.shape[-1]
-    two_fp = w1_ref.shape[-1]
-    fp = two_fp // 2
+    fpad_total = w2_ref.shape[0]
+    fv = fpad_total - s
     y = ln_stripe(xf, lnw_ref, lnb_ref, c_real, bias_free, eps)
     # mask y (cp lanes) before the linear expansion instead of hidden
     # (2F lanes) after: equivalent by linearity, half the select work
     y = jnp.where(border_mask(i, th, w, wp, num_i), 0, y).astype(io_dtype)
 
-    # 1x1 expansion on the MXU (padded dims; zero rows keep padding inert).
-    # The elementwise section (taps, gelu, gate) stays fp32 even for bf16
-    # io: v5e's VPU has no packed-bf16 ALU, so bf16 elementwise re-measured
-    # 20% SLOWER (25.7 vs 21.4 ms at 8x512^2x96) despite halving VMEM
-    # traffic — every bf16 op unpacks/repacks around an fp32 ALU.
-    hidden = jax.lax.dot_general(
-        y.reshape(-1, cp), w1_ref[:],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).reshape(th + 2, wp, two_fp)
+    parts = []
+    if s:
+        # masked y makes the shifted taps see zeros outside the image,
+        # matching the dwconv's zero padding. The im2col buffer is built
+        # by 9 STORES into VMEM scratch rather than a lane-concat of the
+        # shifted slices: Mosaic's tpu.concatenate requires matching
+        # sublane offsets on non-concat dims (the dj shifts break that,
+        # "result/input offset mismatch"), while stores relayout freely.
+        t = 0
+        for di in range(3):
+            for dj in range(3):
+                yim_ref[:, :, t * cp : (t + 1) * cp] = (
+                    y[di : di + th, dj : dj + w, :]
+                )
+                t += 1
+        acc_m = jax.lax.dot_general(
+            yim_ref[:].reshape(th * w, 9 * cp), w1m_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(th, w, 2 * s)
+        x1m = acc_m[:, :, :s]
+        x2m = acc_m[:, :, s:]
+        gelu_m = x1m * (0.5 + 0.5 * _erf_invsqrt2(x1m))
+        parts.append((gelu_m * x2m).astype(io_dtype))
 
-    if mt_refs is not None and w % 8 == 0:
-        hidden_ref, gated_ref = mt_refs
-        hidden_ref[:] = hidden
-        dw_gelu_gate_microtile(hidden_ref, gated_ref, wdw_ref, th, w, fp)
-        gated = gated_ref[:].astype(io_dtype)
-    else:
-        acc = dwconv3x3_stripe(hidden, wdw_ref, th, w)
+    if fv:
+        two_fv = w1_ref.shape[-1]
+        assert two_fv == 2 * fv, (two_fv, fv, s)
+        # 1x1 expansion on the MXU (padded dims; zero rows keep padding
+        # inert). The elementwise section (taps, gelu, gate) stays fp32
+        # even for bf16 io: v5e's VPU has no packed-bf16 ALU, so bf16
+        # elementwise re-measured 20% SLOWER (25.7 vs 21.4 ms at
+        # 8x512^2x96) despite halving VMEM traffic — every bf16 op
+        # unpacks/repacks around an fp32 ALU.
+        hidden = jax.lax.dot_general(
+            y.reshape(-1, cp), w1_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(th + 2, wp, two_fv)
 
-        x1 = acc[:, :, :fp]
-        x2 = acc[:, :, fp:]
-        # exact (erf) gelu — erf approximated in-kernel (no Mosaic
-        # primitive)
-        gelu = x1 * (0.5 + 0.5 * _erf_invsqrt2(x1))
-        gated = (gelu * x2).astype(io_dtype)
+        if mt_refs is not None and w % 8 == 0 and s == 0:
+            hidden_ref, gated_ref = mt_refs
+            hidden_ref[:] = hidden
+            dw_gelu_gate_microtile(hidden_ref, gated_ref, wdw_ref, th, w, fv)
+            parts.append(gated_ref[:].astype(io_dtype))
+        else:
+            acc = dwconv3x3_stripe(hidden, wdw_ref, th, w)
 
+            x1 = acc[:, :, :fv]
+            x2 = acc[:, :, fv:]
+            # exact (erf) gelu — erf approximated in-kernel (no Mosaic
+            # primitive)
+            gelu = x1 * (0.5 + 0.5 * _erf_invsqrt2(x1))
+            parts.append((gelu * x2).astype(io_dtype))
+
+    gated = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
     return jax.lax.dot_general(
-        gated.reshape(-1, fp), w2_ref[:],
+        gated.reshape(-1, fpad_total), w2_ref[:],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).reshape(th, w, cp)
 
 
 def _kernel(xb_ref, x_hbm, lnw_ref, lnb_ref, w1_ref, wdw_ref, w2_ref,
-            out_ref, halo_ref, sem, *mt_refs, th, w, wp, c_real,
-            bias_free, eps):
+            *rest, th, w, wp, c_real, bias_free, eps, s=0):
+    if s:
+        w1m_ref, *rest = rest
+    else:
+        w1m_ref = None
+    out_ref, halo_ref, sem, *extra = rest
+    if s:
+        yim_ref = extra[-1]
+        mt_refs = extra[:-1]
+    else:
+        yim_ref = None
+        mt_refs = extra
     i = pl.program_id(1)
     bi = pl.program_id(0)
 
@@ -391,7 +503,8 @@ def _kernel(xb_ref, x_hbm, lnw_ref, lnb_ref, w1_ref, wdw_ref, w2_ref,
     out = ln_gdfn_stripe(
         xf, i, lnw_ref, lnb_ref, w1_ref, wdw_ref, w2_ref, xt.dtype,
         th=th, w=w, wp=wp, c_real=c_real, bias_free=bias_free, eps=eps,
-        mt_refs=mt_refs if mt_refs else None,
+        mt_refs=mt_refs if mt_refs else None, w1m_ref=w1m_ref, s=s,
+        yim_ref=yim_ref,
     )
     residual = xf[1 : th + 1, 1 : w + 1, :]
     out_ref[0] = (out + residual).astype(out_ref.dtype)
@@ -427,7 +540,8 @@ def fused_ln_gdfn(
     f = two_f // 2
     cp = _lanes(c)
     fpad = _lanes(f)
-    th = _pick_th(h, w, cp, 2 * fpad)
+    s = _mxu_pairs(fpad)
+    th = _pick_th(h, w, cp, 2 * fpad, s=s)
     if th is None:
         return None
 
@@ -442,25 +556,20 @@ def fused_ln_gdfn(
         ln_b = jnp.zeros_like(ln_w)
     lnw_p = _pad_last(ln_w, cp)
     lnb_p = _pad_last(ln_b, cp)
-    # hidden padded per-half so the split at fp stays aligned
-    w1_p = jnp.concatenate(
-        [
-            _pad_last(jnp.pad(w1[:, :f], ((0, cp - c), (0, 0))), fpad),
-            _pad_last(jnp.pad(w1[:, f:], ((0, cp - c), (0, 0))), fpad),
-        ],
-        axis=-1,
-    )
-    wdw_p = jnp.concatenate(
-        [_pad_last(wdw[:, :, :f], fpad), _pad_last(wdw[:, :, f:], fpad)],
-        axis=-1,
-    )
+    # hidden padded per-half so the split at fp stays aligned; the hybrid
+    # split routes the first s pairs through the im2col tap-matmul
+    w1m_p, w1_p, wdw_p = _split_dw_weights(w1, wdw, c, f, cp, fpad, s)
     w2_p = jnp.pad(w2, ((0, fpad - f), (0, cp - c)))
 
     kern = functools.partial(
-        _kernel, th=th, w=w, wp=wp, c_real=c, bias_free=bias_free, eps=eps
+        _kernel, th=th, w=w, wp=wp, c_real=c, bias_free=bias_free, eps=eps,
+        s=s,
     )
     grid = (b, h // th)
     flops = 2 * b * h * w * (c * two_f + f * c) + 18 * b * h * w * two_f
+    if s:
+        flops += 2 * b * h * w * 8 * cp * 2 * s  # extra tap-matmul terms
+    two_fv = w1_p.shape[-1]
     out = pl.pallas_call(
         kern,
         grid=grid,
@@ -473,16 +582,26 @@ def fused_ln_gdfn(
             pl.BlockSpec((cp,), lambda *_: (0,), memory_space=pltpu.VMEM),
             pl.BlockSpec((cp,), lambda *_: (0,), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (cp, 2 * fpad), lambda *_: (0, 0), memory_space=pltpu.VMEM
+                (cp, two_fv), lambda *_: (0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (3, 3, 2 * fpad), lambda *_: (0, 0, 0),
+                (3, 3, two_fv), lambda *_: (0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (fpad, cp), lambda *_: (0, 0), memory_space=pltpu.VMEM
             ),
-        ],
+        ]
+        + (
+            [
+                pl.BlockSpec(
+                    (9 * cp, 2 * s), lambda *_: (0, 0),
+                    memory_space=pltpu.VMEM,
+                )
+            ]
+            if s
+            else []
+        ),
         out_specs=pl.BlockSpec(
             (1, th, w, cp), lambda bi, i: (bi, i, 0, 0),
             memory_space=pltpu.VMEM,
@@ -499,7 +618,8 @@ def fused_ln_gdfn(
             ]
             if MICROTILE and w % 8 == 0
             else []
-        ),
+        )
+        + ([pltpu.VMEM((th, w, 9 * cp), dtype)] if s else []),
         cost_estimate=pl.CostEstimate(
             flops=flops,
             bytes_accessed=2 * b * h * w * cp * 2,
@@ -511,5 +631,6 @@ def fused_ln_gdfn(
         ),
         interpret=interpret,
     )(xp, xp, lnw_p.astype(dtype), lnb_p.astype(dtype), w1_p.astype(dtype),
-      wdw_p.astype(dtype), w2_p.astype(dtype))
+      wdw_p.astype(dtype), w2_p.astype(dtype),
+      *([w1m_p.astype(dtype)] if s else []))
     return out[:, :, :, :c] if cp != c else out

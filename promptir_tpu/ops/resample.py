@@ -97,17 +97,44 @@ class FewChannelConv3(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, padded_shape=None) -> jnp.ndarray:
         from promptir_tpu.parallel.spatial import (
             current_spatial_axis,
             exchange_rows,
         )
 
+        axis = current_spatial_axis()
+        if padded_shape is not None:
+            # x is in the fused kernels' pad_nhwc layout (B,H,wp,cp) with
+            # ZERO borders: the left zero column and the zero tail double
+            # as the conv's width padding, and zero-padded input-channel
+            # lanes keep the pad lanes inert — the full-width exit slice
+            # the head otherwise forces (~3.3 ms at 512^2x128 lanes)
+            # never happens; only the tiny features-channel output is
+            # cropped.
+            assert axis is None, "padded head is single-chip only"
+            w_real, c_real = padded_shape
+            w = self.param(
+                "kernel", torch_kernel_init, (3, 3, c_real, self.features)
+            )
+            wk = jnp.pad(w, ((0, 0), (0, 0), (0, x.shape[-1] - c_real),
+                             (0, 0)))
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), wk.astype(self.dtype),
+                window_strides=(1, 1), padding=((1, 1), (0, 0)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )[:, :, :w_real, :]
+            if self.use_bias:
+                b = self.param(
+                    "bias", nn.initializers.zeros, (self.features,)
+                )
+                y = y + b.astype(y.dtype)
+            return y
+
         cin = x.shape[-1]
         w = self.param(
             "kernel", torch_kernel_init, (3, 3, cin, self.features)
         )
-        axis = current_spatial_axis()
         h_pad = (1, 1)
         if axis is not None:  # sharded: neighbor rows replace zero pad
             x = exchange_rows(x, 1, axis)

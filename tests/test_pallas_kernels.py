@@ -92,6 +92,51 @@ def test_microtile_paths_match_streaming():
         )
 
 
+def test_hybrid_dw_mxu_split_matches(monkeypatch):
+    """Hybrid dw (PROMPTIR_DW_MXU_FRAC > 0): routing the first s gate
+    pairs through the im2col tap-matmul on the MXU (gdfn.ln_gdfn_stripe)
+    must match the XLA reference at half and full splits, through both
+    the standalone LN+GDFN kernel and the fused whole-block tail."""
+    from promptir_tpu.ops.pallas.block import fused_transformer_block
+    import promptir_tpu.ops.pallas.gdfn as gmod
+
+    rng = np.random.default_rng(11)
+    for c, frac, heads in [(48, "0.5", 1), (96, "0.5", 2), (96, "1.0", 2)]:
+        f = int(c * 2.66)
+        lnw, lnb, w1, wdw, w2 = _weights(c, f, seed=c)
+        x = jnp.asarray(rng.normal(size=(1, 16, 24, c)).astype(np.float32))
+        ref = reference_ln_gdfn(x, lnw, lnb, w1, wdw, w2)
+
+        monkeypatch.setenv("PROMPTIR_DW_MXU_FRAC", frac)
+        fpad = gmod._lanes(f)
+        s = gmod._mxu_pairs(fpad)
+        assert s > 0, (c, frac)
+        out = fused_ln_gdfn(x, lnw, lnb, w1, wdw, w2, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5,
+            err_msg=f"c={c} frac={frac} s={s}",
+        )
+
+        n = lambda *sh, sc=0.05: jnp.asarray(  # noqa: E731
+            rng.normal(size=sh).astype(np.float32) * sc
+        )
+        attn_w = (
+            n(c) + 1, n(c), n(c, 3 * c), n(3, 3, 3 * c, sc=0.2),
+            n(c, c), jnp.ones((heads,)),
+        )
+        b1 = fused_transformer_block(
+            x, *attn_w, heads, lnw, lnb, w1, wdw, w2, interpret=True
+        )
+        monkeypatch.setenv("PROMPTIR_DW_MXU_FRAC", "0")
+        b0 = fused_transformer_block(
+            x, *attn_w, heads, lnw, lnb, w1, wdw, w2, interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(b1), np.asarray(b0), rtol=2e-5, atol=2e-5,
+            err_msg=f"block c={c} frac={frac} s={s}",
+        )
+
+
 def test_fused_ln_gdfn_odd_stripes_and_batch():
     """Odd stripe count + odd batch exercises the pipelined halo fetch's
     ping-pong slot transitions, including the cross-image boundary where
