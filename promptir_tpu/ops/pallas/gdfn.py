@@ -57,7 +57,16 @@ def _mxu_pairs(fpad: int) -> int:
     matmul trades 9 FMA passes per 128 pair-lanes for MXU FLOPs that
     overlap the remaining VPU work. PROMPTIR_DW_MXU_FRAC (0..1, default
     0) picks the fraction, rounded to a 128-lane multiple; the microtile
-    experiment path bypasses it."""
+    experiment path bypasses it.
+
+    MEASURED ON v5e (8x512^2x96 bf16): standalone GDFN kernel 18.31 ->
+    17.91 ms at s=128 (+2.2%) but 22.20 ms at s=256 (full-MXU is
+    MXU-bound), and the whole fused BLOCK — the path the models actually
+    take — regresses 23.96 -> 24.63 ms at s=128: the block tail's MXU
+    already runs the attention-apply + projection matmuls, so the extra
+    9x tap FLOPs don't hide there. Default stays 0 (off); kept as a
+    parity-tested option since the standalone-kernel users (e.g. the
+    X-Restormer channel half) can profit."""
     if MICROTILE:
         return 0
     frac = float(_os.environ.get("PROMPTIR_DW_MXU_FRAC", "0"))
