@@ -81,13 +81,17 @@ def main(argv=None):
             "--spatial needs the unfused op path (drop --fused): "
             "the Pallas kernels are single-chip"
         )
-    # exactness is proven (tests/test_halo.py) for the MDTA/GDFN/OCAB/
-    # prompt/Easy/NAF op sets; the Uformer (shifted windows) and CAMixer
-    # (flow_warp, routers) families raise from their ops instead of
-    # computing silently-wrong seams
+    # exactness is proven (tests/test_halo.py) for every family: the
+    # MDTA/GDFN/OCAB/prompt/Easy/NAF op sets run halo-local with psummed
+    # statistics; the Uformer shifted windows roll across shards via a
+    # ring ppermute; the CAMixer mixers and the TLC pool take the exact
+    # gather fallback (their routing decisions are global)
     SPATIAL_MODELS = {
         "promptir", "xrestormerir", "promptxrestormerir",
         "promptxrestormereffir", "easypromptxrestormer", "nafnet",
+        "nafnetlocal", "promptuformerir", "capromptxrestormereff",
+        "capromptxrestormereffv2", "catapromptxrestormer",
+        "capromptuformerir",
     }
     if args.spatial and args.model not in SPATIAL_MODELS:
         raise SystemExit(
@@ -140,14 +144,23 @@ def main(argv=None):
             from promptir_tpu.parallel.spatial import spatial_sharded_apply
 
             n = smesh.shape["data"]
+            # Uformer-skeleton families have 4 downsamples and 8px
+            # windows at every level: both dims must be multiples of
+            # 16*8=128 (global window alignment) and H additionally a
+            # multiple of 16*n (stripes stay even through all four
+            # downsamples) -> lcm. Other families: 3 downsamples, 8*n.
+            if args.model in ("promptuformerir", "capromptuformerir"):
+                base = int(np.lcm(128, 16 * n))
+            else:
+                base = 8 * n
             try:
-                xp = pad_to_multiple_reflect(x, 8 * n)
+                xp = pad_to_multiple_reflect(x, base)
             except ValueError:
                 # reflect needs pad < dim; tiny images fall back to
                 # symmetric (duplicated-edge) padding — cropped off anyway
                 from promptir_tpu.eval.padding import target_size
 
-                th_, tw_ = target_size(h, w, 8 * n)
+                th_, tw_ = target_size(h, w, base)
                 xp = jnp.pad(
                     x, ((0, 0), (0, th_ - h), (0, tw_ - w), (0, 0)),
                     mode="symmetric",

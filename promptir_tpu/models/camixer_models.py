@@ -289,9 +289,25 @@ class _CABase(nn.Module):
         g = Conv(2, (3, 3), padding=((1, 1), (1, 1)), use_bias=True,
                  dtype=self.dtype, name="global_predictor_2")(g)
         cond1 = nn.leaky_relu(g, negative_slope=0.1)
-        cond2 = resize_bilinear(cond1, (h // 2, w // 2))
-        cond3 = resize_bilinear(cond1, (h // 4, w // 4))
-        cond4 = resize_bilinear(cond1, (h // 8, w // 8))
+        from promptir_tpu.parallel.spatial import current_spatial_axis
+
+        axis = current_spatial_axis()
+        if axis is not None:
+            # sharded: the per-level bilinear pyramids sample across
+            # stripe seams. cond1 is only 2 channels — resize it at
+            # GLOBAL row coordinates and keep each level's local stripe.
+            import jax
+
+            from promptir_tpu.parallel.spatial import sharded_resize_bilinear
+
+            hg = h * jax.lax.axis_size(axis)
+            cond2 = sharded_resize_bilinear(cond1, (hg // 2, w // 2), axis)
+            cond3 = sharded_resize_bilinear(cond1, (hg // 4, w // 4), axis)
+            cond4 = sharded_resize_bilinear(cond1, (hg // 8, w // 8), axis)
+        else:
+            cond2 = resize_bilinear(cond1, (h // 2, w // 2))
+            cond3 = resize_bilinear(cond1, (h // 4, w // 4))
+            cond4 = resize_bilinear(cond1, (h // 8, w // 8))
 
         decisions = []
         hard_ratios = []

@@ -95,7 +95,17 @@ class UformerPromptBlock(nn.Module):
             nn.initializers.uniform(scale=1.0),
             (self.prompt_len, self.prompt_size, self.prompt_size, self.prompt_dim),
         )
+        # Under a spatial-sharding trace x is an H stripe: GAP -> pmean,
+        # bilinear resize at GLOBAL row coordinates with a local slice
+        # (same recipe as ops/prompt.py:PromptGenBlock).
+        import jax
+
+        from promptir_tpu.parallel.spatial import current_spatial_axis
+
+        axis = current_spatial_axis()
         emb = jnp.mean(x, axis=(1, 2))
+        if axis is not None:
+            emb = jax.lax.pmean(emb, axis)
         weights = nn.softmax(
             Dense(self.prompt_len, dtype=self.dtype, name="linear_layer")(
                 emb
@@ -105,7 +115,14 @@ class UformerPromptBlock(nn.Module):
         prompt = jnp.einsum(
             "bl,lhwc->bhwc", weights, bank.astype(jnp.float32)
         ).astype(x.dtype)
-        prompt = resize_bilinear(prompt, (h, w), align_corners=True)
+        if axis is not None:
+            n = jax.lax.axis_size(axis)
+            full = resize_bilinear(prompt, (h * n, w), align_corners=True)
+            prompt = jax.lax.dynamic_slice_in_dim(
+                full, jax.lax.axis_index(axis) * h, h, axis=1
+            )
+        else:
+            prompt = resize_bilinear(prompt, (h, w), align_corners=True)
         prompt = Conv(
             self.prompt_dim, (3, 3), padding=((1, 1), (1, 1)),
             use_bias=False, dtype=self.dtype, name="conv3x3",

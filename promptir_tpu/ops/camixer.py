@@ -158,17 +158,31 @@ def _from_windows(x: jnp.ndarray, win: int, h: int, w: int) -> jnp.ndarray:
     return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h, w, c)
 
 
-def _reject_spatial_sharding(what: str):
-    from promptir_tpu.parallel.spatial import current_spatial_axis
+def _sharded_gather_call(body, x, condition_global, deterministic):
+    """Exact spatial-sharding fallback for the CAMixer mixers: the
+    routers take per-window GLOBAL top-k decisions and flow_warp samples
+    at unbounded offsets, so no local halo plan exists. Gather the
+    level's rows, run the unsharded mixer, keep this shard's stripe; the
+    scalar decision is computed on the gathered (global) windows and so
+    is identical on every shard."""
+    from promptir_tpu.parallel.spatial import (
+        current_spatial_axis,
+        gather_rows,
+        slice_local_rows,
+        spatial_sharding,
+    )
 
-    if current_spatial_axis() is not None:
-        # flow_warp samples at unbounded offsets and the routers make
-        # per-window global decisions; no exact sharded plan — fail
-        # loudly instead of producing silently-wrong seams
-        raise NotImplementedError(
-            f"spatial sharding does not support {what}; use tiled "
-            "inference (--tile --mesh)"
-        )
+    axis = current_spatial_axis()
+    if axis is None or jax.lax.axis_size(axis) == 1:
+        return body(x, condition_global, deterministic)
+    xg = gather_rows(x, axis)
+    cg = (
+        None if condition_global is None
+        else gather_rows(condition_global, axis)
+    )
+    with spatial_sharding(None):
+        yg, dec = body(xg, cg, deterministic)
+    return slice_local_rows(yg, axis), dec
 
 
 class CAMixerV1(nn.Module):
@@ -187,7 +201,11 @@ class CAMixerV1(nn.Module):
         condition_global: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
     ):
-        _reject_spatial_sharding("CAMixer v1 (flow_warp deformable keys)")
+        return _sharded_gather_call(
+            self._body, x, condition_global, deterministic
+        )
+
+    def _body(self, x, condition_global, deterministic):
         b, h, w, c = x.shape
         win = self.window_size
         v = Conv(c, (1, 1), use_bias=self.use_bias, dtype=self.dtype,
@@ -267,7 +285,11 @@ class CAMixerV2(nn.Module):
         condition_global: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
     ):
-        _reject_spatial_sharding("CAMixer v2 (routed window attention)")
+        return _sharded_gather_call(
+            self._body, x, condition_global, deterministic
+        )
+
+    def _body(self, x, condition_global, deterministic):
         b, h, w, c = x.shape
         win = self.window_size
         ow = int(win * self.overlap_ratio) + win
@@ -354,7 +376,11 @@ class BranchSelector(nn.Module):
                  name="in_conv_0")(x)
         y = ChannelsLN(self.dim // 4, name="in_conv_1")(y)
         y = nn.leaky_relu(y, negative_slope=0.1)
-        pooled = jnp.mean(y, axis=(1, 2), keepdims=True)
+        # global over (H, W): pmean under a spatial-sharding trace so the
+        # per-image routing scores are replicated-identical on every shard
+        from promptir_tpu.parallel.spatial import global_mean_hw
+
+        pooled = global_mean_hw(y)
         z = Conv(self.dim // 4, (1, 1), use_bias=False, dtype=self.dtype,
                  name="se_1")(pooled)
         z = nn.leaky_relu(z, negative_slope=0.1)

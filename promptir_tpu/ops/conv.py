@@ -4,11 +4,21 @@ All framework modules use these so from-scratch training matches the
 reference's initialization statistics (see utils/init.py).
 
 `Conv` is additionally the single hook for EXACT spatially-sharded
-inference (parallel/spatial.py): when a spatial-sharding trace context is
-active, every stride-1 odd-kernel conv with symmetric explicit padding
-exchanges `kh//2` boundary rows with its mesh neighbors (ppermute over
-ICI) and crops the recomputed edge rows — bit-identical to the unsharded
-zero-padded conv, with no change to the parameter tree.
+inference (parallel/spatial.py). When a spatial-sharding trace context is
+active, each conv picks the cheapest exact plan, in order:
+
+  * stride-1 odd-kernel symmetric explicit padding: exchange `kh//2`
+    boundary rows with mesh neighbors (ppermute over ICI), crop the
+    recomputed edge rows — bit-identical to the unsharded zero-pad;
+  * stride == kernel, no padding (patch convs): shard-local;
+  * strided overlap with kh == sh + 2*ph (the Uformer 4x4/s2/p1
+    downsample): ph-row halo + row-VALID strided conv — output rows
+    partition exactly when the local stripe divides the stride;
+  * anything else (dilation, string padding): all_gather the level's
+    rows, run the full conv, keep the local slice — communication-heavy
+    but never silently wrong at the seams.
+
+None of the plans change the parameter tree.
 """
 
 from __future__ import annotations
@@ -16,6 +26,7 @@ from __future__ import annotations
 from functools import partial
 from typing import Any, Callable
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -71,16 +82,84 @@ class Conv(nn.Conv):
                 # windows never cross stripe seams — shard-local exact
                 return super().__call__(x)
             if self._h_extent() > 1:
-                # spatially coupled but not halo-eligible (strided, even
-                # kernel, string padding, dilation): running it per-shard
-                # would be silently inexact at every stripe seam
-                raise NotImplementedError(
-                    "spatial sharding: no exact halo plan for Conv("
-                    f"kernel_size={self.kernel_size}, strides={self.strides},"
-                    f" padding={self.padding}) — only stride-1 odd-kernel "
-                    "convs with symmetric explicit padding are supported"
-                )
+                strided = self._strided_halo_plan(x)
+                if strided is not None:
+                    # even-kernel strided conv with k == s + 2p (e.g. the
+                    # Uformer 4x4/s2 pad-1 downsample): output rows
+                    # partition exactly when the local stripe height
+                    # divides the stride; each output row needs p rows of
+                    # halo on both sides, then a row-VALID conv
+                    return self._sharded_strided(x, axis, *strided)
+                # spatially coupled with no halo plan (dilation, string
+                # padding, odd strided shapes): fall back to the EXACT
+                # gather -> full conv -> local slice. Communication-heavy
+                # (one all_gather of the level's rows) but never silently
+                # wrong at the seams.
+                return self._sharded_gather(x, axis)
         return super().__call__(x)
+
+    def _strided_halo_plan(self, x):
+        """(stride_h, pad_h) when the exact strided plan applies: explicit
+        symmetric padding, kh == sh + 2*ph, no dilation, local rows divide
+        the stride."""
+        if x.ndim != 4:
+            return None
+        ks = self.kernel_size
+        kh = ks if isinstance(ks, int) else ks[0]
+        st = self.strides
+        if st is None:
+            st = (1, 1)
+        elif isinstance(st, int):
+            st = (st, st)
+        sh = st[0]
+        if sh <= 1:
+            return None
+        pad = self.padding
+        if not isinstance(pad, (tuple, list)) or len(pad) != 2:
+            return None
+        ph = tuple(pad[0])
+        if len(ph) != 2 or ph[0] != ph[1]:
+            return None
+        if kh != sh + 2 * ph[0] or ph[0] == 0 or ph[0] > sh:
+            return None
+        if self.input_dilation not in (None, 1, (1, 1)):
+            return None
+        if self.kernel_dilation not in (None, 1, (1, 1)):
+            return None
+        if x.shape[1] % sh:
+            return None
+        return sh, ph[0]
+
+    def _sharded_strided(self, x, axis, sh, ph):
+        """Exchange a STRIDE-sized halo (a multiple of the stride keeps
+        the module's own ((ph,ph),..) zero padding phase-aligned with the
+        global conv), run the unmodified conv, and crop the one extra
+        output row computed at each end. Output row q of the haloed
+        stripe reads global rows  i*hl + (q-1)*sh - ph .. +kh-1  — for
+        q in [1, hl/sh] exactly the unsharded outputs; border shards see
+        zeros beyond row -ph only because ph <= sh."""
+        from promptir_tpu.parallel.spatial import exchange_rows
+
+        xh = exchange_rows(x, sh, axis)
+        y = super().__call__(xh)
+        return y[:, 1:-1]
+
+    def _sharded_gather(self, x, axis):
+        from promptir_tpu.parallel.spatial import (
+            gather_rows,
+            slice_local_rows,
+            spatial_sharding,
+        )
+
+        xg = gather_rows(x, axis)
+        with spatial_sharding(None):
+            yg = super().__call__(xg)
+        if yg.shape[1] % jax.lax.axis_size(axis):
+            raise NotImplementedError(
+                "spatial sharding: gathered conv output rows do not "
+                f"partition the mesh axis (H_out={yg.shape[1]})"
+            )
+        return slice_local_rows(yg, axis)
 
     def _h_extent(self) -> int:
         ks = self.kernel_size

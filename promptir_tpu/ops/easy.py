@@ -230,14 +230,22 @@ class NAFBlock(nn.Module):
                  use_bias=True, dtype=self.dtype, name="conv2")(x)
         x = simple_gate(x)
         if self.tlc_kernel is not None:
-            from promptir_tpu.parallel.spatial import current_spatial_axis
+            from promptir_tpu.parallel.spatial import (
+                current_spatial_axis,
+                gather_rows,
+                slice_local_rows,
+            )
 
-            if current_spatial_axis() is not None:
-                # TLC windows are ~half-image sized; no exact halo plan
-                raise NotImplementedError(
-                    "spatial sharding does not support the TLC local pool"
+            axis = current_spatial_axis()
+            if axis is not None:
+                # TLC windows are ~half-image sized — no local halo plan;
+                # exact gather fallback (TLC is an inference-only path)
+                pooled = slice_local_rows(
+                    local_avg_pool(gather_rows(x, axis), self.tlc_kernel),
+                    axis,
                 )
-            pooled = local_avg_pool(x, self.tlc_kernel)
+            else:
+                pooled = local_avg_pool(x, self.tlc_kernel)
         else:
             from promptir_tpu.parallel.spatial import global_mean_hw
 

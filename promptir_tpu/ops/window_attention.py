@@ -191,16 +191,17 @@ class WindowAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, attn_kv=None, mask: Optional[jnp.ndarray] = None):
-        from promptir_tpu.parallel.spatial import current_spatial_axis
+        # window tokens are shard-local by construction (the LeWin block
+        # handles the cross-shard shift/mask, see LeWinTransformerBlock);
+        # the projections below must therefore run WITHOUT the spatial
+        # trace context — ConvProjection's window-grid convs would
+        # otherwise try to halo-exchange window rows
+        from promptir_tpu.parallel.spatial import spatial_sharding
 
-        if current_spatial_axis() is not None:
-            # the Uformer family's shifted windows roll the sharded H axis
-            # (a cross-shard permute); no exact sharded plan implemented —
-            # fail loudly instead of producing silently-wrong seams
-            raise NotImplementedError(
-                "spatial sharding does not support the Uformer window-"
-                "attention family; use tiled inference (--tile --mesh)"
-            )
+        with spatial_sharding(None):
+            return self._attend(x, attn_kv, mask)
+
+    def _attend(self, x, attn_kv, mask):
         bn, n, c = x.shape
         d = self.dim // self.num_heads
         scale = d ** -0.5
@@ -300,6 +301,35 @@ class LeWinTransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True):
+        from promptir_tpu.parallel.spatial import (
+            current_spatial_axis,
+            gather_rows,
+            sharded_roll_h,
+            slice_local_rows,
+            spatial_sharding,
+        )
+
+        b, h, w, c = x.shape
+        win = self.win_size
+        shift = self.shift_size
+
+        axis = current_spatial_axis()
+        n_shards = 1 if axis is None else jax.lax.axis_size(axis)
+        if axis is not None and n_shards > 1 and h % win:
+            # the local stripe cannot hold whole windows (deep U-Net
+            # levels): gather the (tiny) level, run the unsharded block
+            # exactly, keep this shard's rows. LeFF's dwconv halo etc.
+            # are global in the gathered frame, so the spatial context is
+            # suspended for the inner call.
+            xg = gather_rows(x, axis)
+            with spatial_sharding(None):
+                yg = self._body(xg, deterministic, None, 1)
+            return slice_local_rows(yg, axis)
+        return self._body(x, deterministic, axis, n_shards)
+
+    def _body(self, x, deterministic, axis, n_shards):
+        from promptir_tpu.parallel.spatial import sharded_roll_h
+
         b, h, w, c = x.shape
         win = self.win_size
         shift = self.shift_size
@@ -307,8 +337,26 @@ class LeWinTransformerBlock(nn.Module):
         shortcut = x
         y = TorchLayerNorm(self.dim, name="norm1")(x)
         if shift > 0:
-            y = jnp.roll(y, shift=(-shift, -shift), axis=(1, 2))
-            mask = jnp.asarray(shift_attn_mask(h, w, win, shift))
+            hg = h * n_shards
+            if axis is not None and n_shards > 1:
+                # torch.roll's cyclic H shift across shards: one
+                # shift-row slab over the ICI ring (exact incl. the
+                # global wrap); the W roll stays local. The Swin boundary
+                # mask is position-dependent, so each shard takes its
+                # window-row slice of the GLOBAL mask table.
+                y = sharded_roll_h(y, -shift, axis)
+                y = jnp.roll(y, -shift, axis=2)
+                m_global = jnp.asarray(shift_attn_mask(hg, w, win, shift))
+                m_rows = m_global.reshape(
+                    hg // win, w // win, win * win, win * win
+                )
+                mask = jax.lax.dynamic_slice_in_dim(
+                    m_rows, jax.lax.axis_index(axis) * (h // win),
+                    h // win, axis=0,
+                ).reshape(-1, win * win, win * win)
+            else:
+                y = jnp.roll(y, shift=(-shift, -shift), axis=(1, 2))
+                mask = jnp.asarray(shift_attn_mask(h, w, win, shift))
         else:
             mask = None
         yw = window_partition(y, win)  # (B*nW, win^2, C)
@@ -328,7 +376,11 @@ class LeWinTransformerBlock(nn.Module):
 
         y = window_reverse(yw, win, h, w)
         if shift > 0:
-            y = jnp.roll(y, shift=(shift, shift), axis=(1, 2))
+            if axis is not None and n_shards > 1:
+                y = sharded_roll_h(y, shift, axis)
+                y = jnp.roll(y, shift, axis=2)
+            else:
+                y = jnp.roll(y, shift=(shift, shift), axis=(1, 2))
 
         dp = DropPath(self.drop_path, name="drop_path")
         x = shortcut + dp(y, deterministic)

@@ -23,7 +23,13 @@ handle its own distribution —
     sliced to the local stripe;
   * pixel-(un)shuffle resampling stays local (stripe heights must stay
     even through every level — hence the H % (n * 8) requirement for the
-    4-level U-Net).
+    4-level U-Net);
+  * the Uformer family's shifted windows roll the sharded H axis with a
+    ring ppermute (global torch.roll semantics, `sharded_roll_h`) and
+    take per-shard row slices of the GLOBAL Swin boundary mask; its
+    4x4/s2 downsamples use a strided halo plan (ops/conv.py), and deep
+    levels whose stripes are thinner than a window run gathered
+    (`gather_rows` -> exact unsharded block -> `slice_local_rows`).
 
 Total communication per forward: 2 halo rows per spatial conv plus a few
 KB of psummed statistics — all ICI, no host round-trips, one XLA program.
@@ -68,6 +74,71 @@ def exchange_rows(x: jnp.ndarray, halo: int, axis: str) -> jnp.ndarray:
     from promptir_tpu.parallel.halo import exchange_halo
 
     return exchange_halo(x, halo, axis, border="zeros")
+
+
+def sharded_roll_h(x: jnp.ndarray, shift: int, axis: str) -> jnp.ndarray:
+    """GLOBAL cyclic roll along the sharded H axis of a local (B,h,W,C)
+    stripe — the distributed equivalent of `jnp.roll(x_global, shift,
+    axis=1)` (torch.roll semantics, wrap-around included: the ring
+    ppermute wraps shard n-1 to shard 0 exactly like the global roll).
+    One |shift|-row slab over ICI per shard pair."""
+    if shift == 0:
+        return x
+    n = jax.lax.axis_size(axis)
+    if n == 1:
+        return jnp.roll(x, shift, axis=1)
+    s = abs(shift)
+    assert s <= x.shape[1], "roll larger than the local stripe"
+    if shift < 0:
+        # rows move up: my top rows become the previous shard's bottom
+        recv = jax.lax.ppermute(
+            x[:, :s], axis, [(i, (i - 1) % n) for i in range(n)]
+        )
+        return jnp.concatenate([x[:, s:], recv], axis=1)
+    recv = jax.lax.ppermute(
+        x[:, -s:], axis, [(i, (i + 1) % n) for i in range(n)]
+    )
+    return jnp.concatenate([recv, x[:, :-s]], axis=1)
+
+
+def gather_rows(x: jnp.ndarray, axis: str) -> jnp.ndarray:
+    """all_gather the local (B,h,W,C) stripes into the full (B,H,W,C) —
+    the exact (communication-heavy) fallback for ops whose local stripe
+    cannot satisfy their spatial structure (e.g. a window-attention level
+    whose stripe is smaller than the window)."""
+    return jax.lax.all_gather(x, axis, axis=1, tiled=True)
+
+
+def slice_local_rows(xg: jnp.ndarray, axis: str) -> jnp.ndarray:
+    """Inverse of gather_rows: this shard's stripe of a global tensor."""
+    n = jax.lax.axis_size(axis)
+    hl = xg.shape[1] // n
+    return jax.lax.dynamic_slice_in_dim(
+        xg, jax.lax.axis_index(axis) * hl, hl, axis=1
+    )
+
+
+def sharded_resize_bilinear(
+    x: jnp.ndarray,
+    out_hw_global: tuple,
+    axis: str,
+    align_corners: bool = False,
+) -> jnp.ndarray:
+    """Bilinear resize of an H-sharded NHWC stripe at GLOBAL coordinates
+    (bilinear samples cross stripe seams): all_gather the rows — cheap
+    for the few-channel maps this is used on (RGB inputs, 2-channel
+    condition maps) — resize the global tensor, keep this shard's output
+    stripe. The global output height must divide the axis size."""
+    from promptir_tpu.ops.resize import resize_bilinear
+
+    xg = gather_rows(x, axis)
+    yg = resize_bilinear(xg, out_hw_global, align_corners=align_corners)
+    if yg.shape[1] % jax.lax.axis_size(axis):
+        raise NotImplementedError(
+            f"sharded resize: output rows {yg.shape[1]} do not partition "
+            "the mesh axis"
+        )
+    return slice_local_rows(yg, axis)
 
 
 def global_mean_hw(x: jnp.ndarray, keepdims: bool = True) -> jnp.ndarray:

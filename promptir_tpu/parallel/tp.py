@@ -2,8 +2,11 @@
 
 The reference has no TP (its only strategy is DDP, train.py:339); SURVEY
 §2.7 lists channel sharding of MDTA/GDFN as the optional TP row. This
-module implements it the TPU way for the dominant matmul pair — GDFN's
-project_in / project_out — under `shard_map` over a `model` mesh axis:
+module implements it the TPU way for both halves of the TransformerBlock
+under `shard_map` over a `model` mesh axis — GDFN's project_in /
+project_out matmul pair, and MDTA head-parallel (column-parallel qkv,
+chip-local L2 norms / Gram / softmax / attention-apply per head slab,
+row-parallel out-projection). For GDFN:
 
   * column-parallel W1 with a GATE-AWARE split: W1's output columns are
     [x1-half | x2-half] and `gelu(x1) * x2` pairs column i with i + F, so
@@ -90,6 +93,107 @@ def _gdfn_shard_fn(shard, x, axis):
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
     return jax.lax.psum(out, axis)
+
+
+def shard_mdta_params(mdta_params: dict, n: int, num_heads: int) -> dict:
+    """Split an MDTA param subtree {qkv, qkv_dwconv, temperature,
+    project_out} into n HEAD-parallel shards stacked on a leading axis.
+
+    The qkv 1x1 kernel's output columns are [q(C) | k(C) | v(C)] and head
+    h owns channel slab [h*d, (h+1)*d) of each (ops/attention.py:50-53),
+    so chip k takes the matching slab of all three — the L2 norms, the
+    per-head Gram matrix, the softmax and the attention-apply are then
+    chip-local. project_out is row-parallel (one psum)."""
+    assert num_heads % n == 0, (
+        f"heads {num_heads} must divide the model axis {n}"
+    )
+    if "bias" in mdta_params["qkv"]:
+        raise NotImplementedError(
+            "tp_mdta_apply covers the bias-free MDTA (the PromptIR/"
+            "Restormer default, use_bias=False)"
+        )
+    wqkv = mdta_params["qkv"]["kernel"]  # (1,1,C,3C)
+    wdw = mdta_params["qkv_dwconv"]["kernel"]  # (3,3,1,3C)
+    temp = mdta_params["temperature"]  # (heads,)
+    wout = mdta_params["project_out"]["kernel"]  # (1,1,C,C)
+    c = wqkv.shape[-1] // 3
+    cs = c // n
+    hs = num_heads // n
+
+    def split_qkv_cols(w):
+        q, k, v = jnp.split(jnp.moveaxis(w, -1, 0), 3, axis=0)
+        shards = [
+            jnp.concatenate(
+                [t[k_ * cs : (k_ + 1) * cs] for t in (q, k, v)], axis=0
+            )
+            for k_ in range(n)
+        ]
+        return jnp.stack([jnp.moveaxis(s, 0, -1) for s in shards])
+
+    return {
+        "wqkv": split_qkv_cols(wqkv),  # (n,1,1,C,3*cs)
+        "wdw": split_qkv_cols(wdw),  # (n,3,3,1,3*cs)
+        "temp": temp.reshape(n, hs),
+        "wout": jnp.stack(
+            [wout[..., k_ * cs : (k_ + 1) * cs, :] for k_ in range(n)]
+        ),  # (n,1,1,cs,C)
+    }
+
+
+def _mdta_shard_fn(shard, x, heads_per_shard, axis):
+    """One chip's heads of MDTA(x): local qkv/dwconv/attention on its
+    channel slab, row-parallel out-projection with one psum."""
+    from promptir_tpu.ops.attention import channel_attention
+
+    wqkv = shard["wqkv"][0]
+    wdw = shard["wdw"][0]
+    temp = shard["temp"][0]
+    wout = shard["wout"][0]
+    three_cs = wqkv.shape[-1]
+    cs = three_cs // 3
+    y = jax.lax.conv_general_dilated(
+        x, wqkv, (1, 1), ((0, 0), (0, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    y = jax.lax.conv_general_dilated(
+        y, wdw, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=three_cs,
+    )
+    q, k, v = jnp.split(y, 3, axis=-1)
+    out = channel_attention(q, k, v, temp, heads_per_shard)
+    out = jax.lax.conv_general_dilated(
+        out, wout, (1, 1), ((0, 0), (0, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return jax.lax.psum(out, axis)
+
+
+def tp_mdta_apply(
+    mdta_params: dict,
+    x: jnp.ndarray,
+    num_heads: int,
+    mesh: Mesh,
+    axis: str = "model",
+) -> jnp.ndarray:
+    """MDTA forward with the heads sharded over `axis` (megatron-style:
+    column-parallel qkv, chip-local attention, row-parallel out-proj with
+    one psum). Numerically identical to the MDTA module up to psum
+    reassociation; input/output replicated over `axis`."""
+    n = mesh.shape[axis]
+    shards = shard_mdta_params(mdta_params, n, num_heads)
+    hs = num_heads // n
+
+    fn = jax.shard_map(
+        lambda s, t: _mdta_shard_fn(s, t, hs, axis),
+        mesh=mesh,
+        in_specs=(P(axis), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    xs = jax.device_put(x, NamedSharding(mesh, P()))
+    ss = jax.device_put(shards, NamedSharding(mesh, P(axis)))
+    return fn(ss, xs)
 
 
 def tp_gdfn_apply(

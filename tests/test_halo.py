@@ -169,27 +169,274 @@ def test_spatial_sharded_easy_promptxrestormer_exact():
 
 
 def test_sharding_guards_fail_loudly():
-    """Families without an exact sharded plan must raise, not silently
-    compute wrong seams."""
+    """When no exact sharded plan exists the trace must raise, not
+    silently compute wrong seams: a gathered conv whose global output
+    rows cannot be re-partitioned over the mesh axis."""
+    from promptir_tpu.ops.conv import Conv as HaloConv
     from promptir_tpu.parallel.spatial import spatial_sharding
 
-    from promptir_tpu.ops.window_attention import WindowAttention
+    # stride-2 SAME conv on global H=8 over 8 shards: gathered H_out=4
+    c = HaloConv(4, (3, 3), strides=(2, 2), padding="SAME")
+    x = jnp.zeros((1, 8, 8, 3))
+    p = c.init(jax.random.PRNGKey(0), x)
+    mesh = create_mesh()
 
-    m = WindowAttention(dim=16, win_size=4, num_heads=2)
-    x = jnp.zeros((4, 16, 16))
+    def f(params, xs):
+        with spatial_sharding("data"):
+            return c.apply(params, xs)
+
+    fn = jax.shard_map(
+        f, mesh=mesh, in_specs=(P(), P(None, "data")),
+        out_specs=P(None, "data"), check_vma=False,
+    )
+    with pytest.raises(NotImplementedError, match="partition"):
+        fn(p, x)
+
+
+def test_spatial_sharded_tlc_pool_exact():
+    """The TLC local pool (NAFNetLocal) has ~half-image windows — no
+    local halo plan; the exact gather fallback must match unsharded."""
+    from promptir_tpu.ops.easy import NAFBlock
+    from promptir_tpu.parallel.spatial import spatial_sharding
+
+    m = NAFBlock(dim=8, tlc_kernel=(8, 8))
+    x = jnp.asarray(
+        np.random.default_rng(11).normal(size=(1, 16, 16, 8)).astype(np.float32)
+    )
     p = m.init(jax.random.PRNGKey(0), x)
-    with spatial_sharding("data"):
-        with pytest.raises(NotImplementedError, match="window"):
-            m.apply(p, x)
+    y_ref = m.apply(p, x)
+    mesh = create_mesh()
 
+    def f(params, xs):
+        with spatial_sharding("data"):
+            return m.apply(params, xs)
+
+    fn = jax.shard_map(
+        f, mesh=mesh, in_specs=(P(), P(None, "data")),
+        out_specs=P(None, "data"), check_vma=False,
+    )
+    np.testing.assert_allclose(
+        np.asarray(fn(p, x)), np.asarray(y_ref), rtol=1e-6, atol=1e-6
+    )
+
+
+def test_spatial_sharded_strided_conv_exact():
+    """The Uformer 4x4/s2/p1 downsample conv under sharding: ph-row halo
+    + row-VALID strided conv must be bit-exact vs unsharded (k == s+2p,
+    local rows divide the stride)."""
     from promptir_tpu.ops.conv import Conv as HaloConv
+    from promptir_tpu.parallel.spatial import spatial_sharding
 
-    c = HaloConv(8, (4, 4), strides=(2, 2))  # overlapping strided conv
-    xc = jnp.zeros((1, 8, 8, 3))
-    pc = c.init(jax.random.PRNGKey(0), xc)
-    with spatial_sharding("data"):
-        with pytest.raises(NotImplementedError, match="halo plan"):
-            c.apply(pc, xc)
+    c = HaloConv(8, (4, 4), strides=(2, 2), padding=((1, 1), (1, 1)))
+    x = jnp.asarray(
+        np.random.default_rng(7).normal(size=(1, 32, 16, 4)).astype(np.float32)
+    )
+    p = c.init(jax.random.PRNGKey(2), x)
+    y_ref = c.apply(p, x)
+
+    mesh = create_mesh()
+
+    def f(params, xs):
+        with spatial_sharding("data"):
+            return c.apply(params, xs)
+
+    fn = jax.shard_map(
+        f, mesh=mesh, in_specs=(P(), P(None, "data")),
+        out_specs=P(None, "data"), check_vma=False,
+    )
+    y = fn(p, x)
+    np.testing.assert_allclose(
+        np.asarray(y), np.asarray(y_ref), rtol=1e-6, atol=1e-6
+    )
+
+
+def test_spatial_sharded_gather_fallback_conv_exact():
+    """A conv with no halo plan (kernel dilation) must take the exact
+    gather -> full conv -> local-slice fallback, not compute wrong seams."""
+    from promptir_tpu.ops.conv import Conv as HaloConv
+    from promptir_tpu.parallel.spatial import spatial_sharding
+
+    c = HaloConv(6, (3, 3), padding="SAME", kernel_dilation=(2, 2))
+    x = jnp.asarray(
+        np.random.default_rng(8).normal(size=(1, 16, 8, 3)).astype(np.float32)
+    )
+    p = c.init(jax.random.PRNGKey(3), x)
+    y_ref = c.apply(p, x)
+
+    mesh = create_mesh()
+
+    def f(params, xs):
+        with spatial_sharding("data"):
+            return c.apply(params, xs)
+
+    fn = jax.shard_map(
+        f, mesh=mesh, in_specs=(P(), P(None, "data")),
+        out_specs=P(None, "data"), check_vma=False,
+    )
+    y = fn(p, x)
+    np.testing.assert_allclose(
+        np.asarray(y), np.asarray(y_ref), rtol=1e-6, atol=1e-6
+    )
+
+
+def test_sharded_roll_h_matches_global_roll():
+    """sharded_roll_h == jnp.roll on the assembled global tensor, both
+    directions, wrap-around included."""
+    from promptir_tpu.parallel.spatial import sharded_roll_h
+
+    mesh = create_mesh()
+    x = jnp.arange(8 * 4 * 2 * 3, dtype=jnp.float32).reshape(1, 32, 2, 3)
+
+    for shift in (-3, -1, 1, 4):
+        fn = jax.shard_map(
+            lambda xs: sharded_roll_h(xs, shift, "data"),
+            mesh=mesh, in_specs=P(None, "data"), out_specs=P(None, "data"),
+            check_vma=False,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(fn(x)), np.asarray(jnp.roll(x, shift, axis=1))
+        )
+
+
+@pytest.mark.slow
+def test_spatial_sharded_sr_scale_exact():
+    """SR mode (scale=2) sharded: the input upscale resizes the 3-channel
+    image at GLOBAL row coordinates (gather -> bilinear -> re-slice),
+    then the normal sharded U-Net runs on the upscaled stripes."""
+    from promptir_tpu.parallel.spatial import spatial_sharded_apply
+
+    model = create_model(
+        "xrestormerir", num_blocks=(1, 1, 1, 1), num_refinement_blocks=1,
+        scale=2,
+    )
+    x = jnp.asarray(
+        np.random.default_rng(14).uniform(size=(1, 256, 32, 3)).astype(np.float32)
+    )
+    params = model.init(jax.random.PRNGKey(0), x)
+
+    def fn(p, xs):
+        return model.apply(p, xs)
+
+    mesh = create_mesh()
+    y_sharded = spatial_sharded_apply(fn, params, x, mesh)
+    y_ref = fn(params, x)
+    np.testing.assert_allclose(
+        np.asarray(y_sharded), np.asarray(y_ref), rtol=5e-5, atol=5e-5
+    )
+
+
+@pytest.mark.slow
+def test_spatial_sharded_camixer_v1_exact():
+    """CAMixer family (v1: flow_warp deformable keys, Gumbel/top-k window
+    routing) sharded: the mixers take the exact gather fallback (global
+    routing decisions), the condition pyramid resizes at global row
+    coordinates, everything else runs halo-local."""
+    from promptir_tpu.parallel.spatial import spatial_sharded_apply
+
+    model = create_model(
+        "capromptxrestormereff", dim=16, num_blocks=(1, 1, 1, 1),
+        num_refinement_blocks=1, ratio=0.5,
+    )
+    x = jnp.asarray(
+        np.random.default_rng(12).uniform(size=(1, 64, 64, 3)).astype(np.float32)
+    )
+    params = model.init(jax.random.PRNGKey(0), x, True)
+
+    def fn(p, xs):
+        return model.apply(p, xs, True)
+
+    mesh = create_mesh()
+    y_sharded = spatial_sharded_apply(fn, params, x, mesh)
+    y_ref = fn(params, x)
+    np.testing.assert_allclose(
+        np.asarray(y_sharded), np.asarray(y_ref), rtol=5e-5, atol=5e-5
+    )
+
+
+@pytest.mark.slow
+def test_spatial_sharded_cata_exact():
+    """CATA sharded: per-image BranchSelector routing (pmean'd squeeze ->
+    replicated scores), CAMixer v2 gather fallback, Easy-block SCA pmean."""
+    from promptir_tpu.parallel.spatial import spatial_sharded_apply
+
+    model = create_model(
+        "catapromptxrestormer", dim=16, num_blocks=(1, 1, 1, 1),
+        num_refinement_blocks=1, ratio=0.5, hard_ratio=0.5,
+    )
+    x = jnp.asarray(
+        np.random.default_rng(13).uniform(size=(2, 64, 64, 3)).astype(np.float32)
+    )
+    params = model.init(jax.random.PRNGKey(0), x, True)
+
+    def fn(p, xs):
+        return model.apply(p, xs, True)
+
+    mesh = create_mesh()
+    y_sharded = spatial_sharded_apply(fn, params, x, mesh)
+    y_ref = fn(params, x)
+    np.testing.assert_allclose(
+        np.asarray(y_sharded), np.asarray(y_ref), rtol=5e-5, atol=5e-5
+    )
+
+
+@pytest.mark.slow
+def test_spatial_sharded_ca_uformer_exact():
+    """CAPromptUformerIR sharded: CAMixer-v1 token blocks (gather
+    fallback) inside the Uformer skeleton (strided-plan downsamples,
+    local transposed-conv upsamples, prompt GAP pmean)."""
+    from promptir_tpu.parallel.spatial import spatial_sharded_apply
+
+    model = create_model(
+        "capromptuformerir", embed_dim=8, depths=(1,) * 9, ratio=0.5,
+    )
+    x = jnp.asarray(
+        np.random.default_rng(15).uniform(
+            size=(1, 128, 128, 3)
+        ).astype(np.float32)
+    )
+    params = model.init(jax.random.PRNGKey(0), x, True)
+
+    def fn(p, xs):
+        return model.apply(p, xs, True)
+
+    mesh = create_mesh()
+    y_sharded = spatial_sharded_apply(fn, params, x, mesh)
+    y_ref = fn(params, x)
+    np.testing.assert_allclose(
+        np.asarray(y_sharded), np.asarray(y_ref), rtol=5e-5, atol=5e-5
+    )
+
+
+@pytest.mark.slow
+def test_spatial_sharded_uformer_exact():
+    """Exact multi-chip forward of the 9-stage PromptUformerIR: shifted
+    windows cross stripe seams (sharded cyclic roll + global-mask row
+    slices), the 4x4/s2 downsamples use the strided halo plan, deep
+    levels whose stripes are thinner than a window take the gather
+    fallback, and the prompt GAP/resize stay global."""
+    from promptir_tpu.parallel.spatial import spatial_sharded_apply
+
+    model = create_model(
+        "promptuformerir",
+        embed_dim=8,
+        win_size=4,
+        depths=(2, 2, 2, 1, 1, 1, 2, 2, 2),
+        num_heads=(1, 2, 4, 8, 16, 16, 8, 4, 2),
+    )
+    x = jnp.asarray(
+        np.random.default_rng(9).uniform(size=(1, 128, 64, 3)).astype(np.float32)
+    )
+    params = model.init(jax.random.PRNGKey(0), x)
+
+    def fn(p, xs):
+        return model.apply(p, xs)
+
+    mesh = create_mesh()
+    y_sharded = spatial_sharded_apply(fn, params, x, mesh)
+    y_ref = fn(params, x)
+    np.testing.assert_allclose(
+        np.asarray(y_sharded), np.asarray(y_ref), rtol=5e-5, atol=5e-5
+    )
 
 
 def test_spatial_sharded_apply_rejects_bad_height():

@@ -153,3 +153,30 @@ def test_tp_gdfn_matches_module():
     np.testing.assert_allclose(
         np.asarray(y_tp), np.asarray(y_ref), rtol=2e-5, atol=2e-5
     )
+
+
+def test_tp_mdta_matches_module():
+    """Head-parallel megatron TP of MDTA (parallel/tp.py): each chip owns
+    a head slab of the qkv columns, computes its L2 norms / channel Gram /
+    softmax / attention-apply locally, and the row-parallel out-projection
+    is reduced with one psum — must match the module."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from promptir_tpu.ops.attention import MDTA
+    from promptir_tpu.parallel.mesh import create_mesh
+    from promptir_tpu.parallel.tp import tp_mdta_apply
+
+    m = MDTA(48, num_heads=8, use_bias=False)
+    x = jnp.asarray(
+        np.random.default_rng(8).normal(size=(2, 8, 8, 48)).astype(np.float32)
+    )
+    params = m.init(jax.random.PRNGKey(0), x)
+    y_ref = m.apply(params, x)
+
+    mesh = create_mesh(n_data=1, n_model=8)
+    y_tp = tp_mdta_apply(params["params"], x, 8, mesh, axis="model")
+    np.testing.assert_allclose(
+        np.asarray(y_tp), np.asarray(y_ref), rtol=2e-5, atol=2e-5
+    )
