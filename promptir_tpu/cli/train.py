@@ -18,6 +18,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--model", default="promptir")
     p.add_argument("--epochs", type=int, default=120)
     p.add_argument("--batch_size", type=int, default=6, help="per DP shard")
+    p.add_argument(
+        "--grad_accum", type=int, default=1,
+        help="microbatches per optimizer step (scan-accumulated grads; "
+             "reproduces the reference's 4-GPU global batch on fewer chips "
+             "without extra activation memory)",
+    )
     p.add_argument("--lr", type=float, default=2e-4)
     p.add_argument(
         "--de_type",
@@ -73,6 +79,7 @@ def main(argv=None):
     cfg.train.model = args.model
     cfg.train.epochs = args.epochs
     cfg.train.batch_size = args.batch_size
+    cfg.train.grad_accum = args.grad_accum
     cfg.train.lr = args.lr
     cfg.train.seed = args.seed
     cfg.train.ckpt_dir = args.ckpt_dir

@@ -46,6 +46,7 @@ class TrainConfig:
     model: str = "promptir"
     epochs: int = 120
     batch_size: int = 6  # per data-parallel shard (reference: per GPU)
+    grad_accum: int = 1  # microbatches per optimizer step (scan-accumulated)
     lr: float = 2e-4
     warmup_epochs: int = 15
     cosine_max_epochs: int = 150

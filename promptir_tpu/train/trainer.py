@@ -80,10 +80,15 @@ class Trainer:
             tx=tx,
         )
         self.state = jax.device_put(self.state, replicated(self.mesh))
+        if self.global_batch % cfg.train.grad_accum:
+            raise ValueError(
+                f"global batch {self.global_batch} not divisible by "
+                f"grad_accum {cfg.train.grad_accum}"
+            )
         self.step_fn = jit_train_step(
             make_train_step(
                 self.model, aux_loss_fn, stochastic=stochastic,
-                seed=cfg.train.seed,
+                seed=cfg.train.seed, grad_accum=cfg.train.grad_accum,
             ),
             self.mesh,
         )
@@ -148,6 +153,21 @@ class Trainer:
             print(
                 f"epoch {epoch}: loss {epoch_loss:.4f} lr {lr:.2e} "
                 f"{imgs / max(dt, 1e-9):.1f} img/s"
+            )
+            # Always write an epoch-level record: the per-step record above
+            # is throttled to every 50 steps (a float() fetch per step would
+            # sync the device), so short runs would otherwise leave
+            # metrics.jsonl empty and `cli/viz.py curves` blank. The
+            # reference's training curves are epoch-level too
+            # (plot_training_curve.ipynb).
+            self.logger.log(
+                {
+                    "train_loss": epoch_loss,
+                    "lr": lr,
+                    "epoch": epoch,
+                    "imgs_per_sec": imgs / max(dt, 1e-9),
+                },
+                self.global_step,
             )
             self.state = self.state.replace(epoch=jnp.asarray(epoch, jnp.int32))
             self.ckpt.save(epoch, jax.device_get(self.state))

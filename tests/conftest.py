@@ -29,6 +29,20 @@ jax.config.update("jax_platforms", "cpu")
 # CPU; parity tests need true float32 accumulation.
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent compile cache for the CPU test runs. The sharded full-model
+# tests (tests/test_halo.py, @slow) each cost a 10-25 minute XLA CPU
+# compile on this 1-core host; caching makes every run after the first
+# start in seconds. A dedicated CPU-only directory (distinct from the TPU
+# relay cache used by utils/compile_cache.py) keeps locally-produced CPU
+# executables separate from remotely-compiled ones.
+_cpu_cache = pathlib.Path(__file__).parent.parent / ".cache" / "jax-cpu-tests"
+try:
+    _cpu_cache.mkdir(parents=True, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(_cpu_cache))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+except Exception:
+    pass
+
 GOLDEN_DIR = pathlib.Path(__file__).parent / "goldens"
 
 

@@ -180,3 +180,59 @@ def test_tp_mdta_matches_module():
     np.testing.assert_allclose(
         np.asarray(y_tp), np.asarray(y_ref), rtol=2e-5, atol=2e-5
     )
+
+
+def test_grad_accum_matches_full_batch():
+    """grad_accum=4 (scan-accumulated microbatches, one optimizer update)
+    must produce the same update as the full-batch step: equal microbatch
+    sizes make the mean-of-means L1 equal the full-batch mean. Also run
+    the accumulated step over the 8-device DP mesh — reshape-to-microbatch
+    must compose with the batch sharding."""
+    model = tiny_model()
+    batch = make_batch(8)
+
+    state_full = create_train_state(
+        model, jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3))
+    )
+    full_b, m_full = jax.jit(make_train_step(model))(state_full, batch)
+
+    state_acc = create_train_state(
+        model, jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3))
+    )
+    acc_b, m_acc = jax.jit(make_train_step(model, grad_accum=4))(
+        state_acc, batch
+    )
+
+    np.testing.assert_allclose(
+        float(m_full["train_loss"]), float(m_acc["train_loss"]), rtol=1e-6
+    )
+    for lf, la in zip(
+        jax.tree_util.tree_leaves(full_b.params),
+        jax.tree_util.tree_leaves(acc_b.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(lf), np.asarray(la), rtol=1e-5, atol=1e-6
+        )
+
+    # sharded: 8-way DP x 4 microbatches of 16 rows (2 per device each)
+    mesh = create_mesh()
+    big = make_batch(64)
+    state8 = create_train_state(
+        model, jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3))
+    )
+    state8 = jax.device_put(state8, replicated(mesh))
+    shard = batch_sharding(mesh)
+    big8 = {k: jax.device_put(v, shard) for k, v in big.items()}
+    step8 = jit_train_step(make_train_step(model, grad_accum=4), mesh)
+    state8b, m8 = step8(state8, big8)
+
+    state1 = create_train_state(
+        model, jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3))
+    )
+    state1b, m1 = jax.jit(make_train_step(model))(state1, big)
+    np.testing.assert_allclose(
+        float(m1["train_loss"]), float(m8["train_loss"]), rtol=1e-5
+    )
+    l1 = jax.tree_util.tree_leaves(state1b.params)[0]
+    l8 = jax.tree_util.tree_leaves(state8b.params)[0]
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l8), rtol=1e-5, atol=1e-6)

@@ -39,7 +39,16 @@ def test_trainer_fit_and_resume(tiny_cfg):
     trainer.fit()
     assert trainer.ckpt.latest_epoch() == 1
     # loss decreased over the two epochs (sanity, not a strict bound)
-    assert os.path.exists(os.path.join(tiny_cfg.train.log_dir, "metrics.jsonl"))
+    # epoch-level records are written unconditionally (per-step records are
+    # throttled to every 50 steps), so even this 4-step run must produce a
+    # plottable train_loss stream
+    import json
+
+    with open(os.path.join(tiny_cfg.train.log_dir, "metrics.jsonl")) as f:
+        records = [json.loads(line) for line in f]
+    epoch_records = [r for r in records if "train_loss" in r]
+    assert len(epoch_records) >= 2
+    assert all(np.isfinite(r["train_loss"]) for r in epoch_records)
 
     # resume into a third epoch
     cfg2 = tiny_cfg
@@ -98,3 +107,25 @@ def test_trainer_profile_trace(tiny_cfg, tmp_path):
         if f.endswith((".trace.json.gz", ".xplane.pb"))
     ]
     assert found, f"no trace files under {prof}"
+
+def test_gan_loss_matches_torch():
+    """gan_loss parity with the reference's GANLoss
+    (/root/reference/utils/loss_utils.py:6-45): lsgan == MSELoss vs a
+    real/fake target tensor, vanilla == BCEWithLogitsLoss."""
+    import torch
+
+    from promptir_tpu.train.losses import gan_loss
+
+    rng = np.random.default_rng(3)
+    logits = rng.normal(0, 2.0, (4, 1, 8, 8)).astype(np.float32)
+    t = torch.from_numpy(logits)
+    for target_is_real in (True, False):
+        tgt = torch.full_like(t, 1.0 if target_is_real else 0.0)
+        ref_ls = torch.nn.MSELoss()(t, tgt).item()
+        ref_bce = torch.nn.BCEWithLogitsLoss()(t, tgt).item()
+        ours_ls = float(gan_loss(jnp.asarray(logits), target_is_real, "lsgan"))
+        ours_bce = float(gan_loss(jnp.asarray(logits), target_is_real, "vanilla"))
+        np.testing.assert_allclose(ours_ls, ref_ls, rtol=1e-6)
+        np.testing.assert_allclose(ours_bce, ref_bce, rtol=1e-6)
+    with pytest.raises(ValueError):
+        gan_loss(jnp.zeros((2, 2)), True, "wgan")
