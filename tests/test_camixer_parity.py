@@ -180,3 +180,22 @@ def test_ca_prompt_uformer_builds_and_runs():
         variables, x, False, rngs={"gumbel": jax.random.PRNGKey(1)}
     )
     assert out.shape == (1, 128, 128, 3) and np.isfinite(float(dec))
+
+def test_ca_v1_small_full_model(golden):
+    """Full-model oracle for CAPromptXRestormerEff (v1): the reference's
+    eval forward (camixer_prompt_xrestormer_eff.py:855-935) IS runnable at
+    ratio=1 (unlike its training path), so the whole assembly — CAMixer v1
+    deformable-key window attention, global predictor condition pyramid,
+    prompt wiring — is pinned against the reference, not just the blocks."""
+    g = golden("ca_v1_small")
+    model = create_model(
+        "capromptxrestormereff", num_blocks=(1, 1, 1, 1),
+        num_refinement_blocks=1, ratio=1.0,
+    )
+    variables = convert_state_dict(g.state_dict)
+    init = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    )
+    check_params_match(variables, init)
+    y = model.apply(variables, jnp.asarray(g.x_nhwc), True)
+    np.testing.assert_allclose(np.asarray(y), g.y_nhwc, rtol=2e-4, atol=2e-4)

@@ -103,44 +103,29 @@ def main():
                                     ratio=1),
          randn(1, 3, 64, 64), quantize=True,
          extra={"training": False})
+    # fresh input generator (the committed fixture was produced this way,
+    # not from the shared stream above)
+    g407 = torch.Generator().manual_seed(407)
+    x407 = torch.randn(1, 3, 64, 64, generator=g407).numpy().astype(np.float32)
+    torch.manual_seed(407)
+    dump("ca_v1_small",
+         v1.CAPromptXRestormerEff(dim=48, num_blocks=[1, 1, 1, 1],
+                                  num_refinement_blocks=1,
+                                  channel_heads=[1, 2, 4, 8],
+                                  ratio=1, training=False),
+         x407, quantize=True)
 
+
+# NOTE: no goldens for camixer_prompt_uformer — the reference is unrunnable
+# as committed at BOTH granularities (verified by running it): the full
+# model applies a Conv2d global_predictor to (B, L, C) token tensors and
+# feature-sized down/upsample modules to the 2-channel condition map
+# (camixer_prompt_uformer.py:1595-1641), and even the standalone
+# CATransformerBlock crashes in its PredictorLG — the in-block predictor is
+# built for dim+4 input channels but is fed cat(v, condition) = dim+2
+# (RuntimeError: expected 36 channels, got 34). The framework implements
+# the intended working design; coverage is structural plus the shared
+# CAMixerV1/LeFF/PromptBlock goldens.
 
 if __name__ == "__main__":
     main()
-
-
-# NOTE: no goldens for camixer_prompt_uformer — the reference model's
-# forward is unrunnable as committed (it applies Conv2d global_predictor to
-# (B, L, C) token tensors and feature-sized down/upsample modules to the
-# 2-channel condition map, camixer_prompt_uformer.py:1595-1641). The
-# framework implements the intended working design; coverage is structural
-# plus the shared CAMixerV1/LeFF/PromptBlock goldens.
-
-if __name__ == "__main__":
-    main()
-
-def gen_ca_uformer():
-    """Block + small-model goldens for camixer_prompt_uformer (token CAMixer)."""
-    from net import camixer_prompt_uformer as cu
-
-    g = torch.Generator().manual_seed(500)
-
-    def randn(*shape):
-        return torch.randn(*shape, generator=g).numpy().astype(np.float32)
-
-    torch.manual_seed(501)
-    blk = cu.CATransformerBlock(dim=32, win_size=8, mlp_ratio=4.0, ratio=1,
-                                training=False)
-    blk.eval()
-    for m in blk.modules():
-        m.training = False
-    dump("ca_uformer_block", blk, randn(1, 256, 32))
-    torch.manual_seed(502)
-    net = cu.CAPromptUformerIR(embed_dim=8, depths=[1] * 9,
-                               num_heads=[1, 2, 4, 8, 16, 16, 8, 4, 2],
-                               win_size=8, token_mlp="leff", prompt=False,
-                               ratio=1, training=False)
-    net.eval()
-    for m in net.modules():
-        m.training = False
-    dump("ca_uformer_small", net, randn(1, 3, 128, 128), quantize=True)
