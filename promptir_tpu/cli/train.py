@@ -62,10 +62,20 @@ def build_parser() -> argparse.ArgumentParser:
         "--synthetic", action="store_true",
         help="train on synthetic data (no image corpus needed)",
     )
+    # epoch-end eval (reference EvaluationCallback, train.py:134-172:
+    # BSD68 sigma-15 + Rain100L PSNR/SSIM logged every epoch)
+    p.add_argument("--eval_denoise_path", default=None,
+                   help="clean BSD68-style dir for epoch-end sigma-15 eval")
+    p.add_argument("--eval_derain_path", default=None,
+                   help="Rain100L-style input/+target/ dir for epoch-end eval")
+    p.add_argument("--eval_every_epochs", type=int, default=1)
     # model-size overrides (reference hardcodes these; exposed for smoke
     # runs and scaling experiments)
     p.add_argument("--num_blocks", type=int, nargs=4, default=None)
     p.add_argument("--num_refinement_blocks", type=int, default=None)
+    p.add_argument("--dim", type=int, default=None, help="base channel width")
+    p.add_argument("--log_dir", default=None,
+                   help="metrics.jsonl / logger dir (default: config)")
     return p
 
 
@@ -83,6 +93,8 @@ def main(argv=None):
     cfg.train.lr = args.lr
     cfg.train.seed = args.seed
     cfg.train.ckpt_dir = args.ckpt_dir
+    if args.log_dir is not None:
+        cfg.train.log_dir = args.log_dir
     cfg.train.wandb_project = args.wblogger
     cfg.data.patch_size = args.patch_size
     cfg.data.num_workers = args.num_workers
@@ -116,7 +128,7 @@ def main(argv=None):
 
     model = None
     if (args.num_blocks is not None or args.num_refinement_blocks is not None
-            or args.fused):
+            or args.dim is not None or args.fused):
         import jax.numpy as jnp
 
         from promptir_tpu.models import create_model
@@ -126,6 +138,8 @@ def main(argv=None):
             kw["num_blocks"] = tuple(args.num_blocks)
         if args.num_refinement_blocks is not None:
             kw["num_refinement_blocks"] = args.num_refinement_blocks
+        if args.dim is not None:
+            kw["dim"] = args.dim
         if args.fused:
             kw["fused_ffn"] = True
         model = create_model(args.model, **kw)
@@ -133,7 +147,16 @@ def main(argv=None):
     from promptir_tpu.utils.compile_cache import enable_persistent_cache
 
     enable_persistent_cache()
-    trainer = Trainer(cfg, dataset, model=model)
+    eval_hook = None
+    if args.eval_denoise_path or args.eval_derain_path:
+        from promptir_tpu.eval.runner import make_epoch_eval_hook
+
+        cfg.train.eval_every_epochs = args.eval_every_epochs
+        eval_hook = make_epoch_eval_hook(
+            denoise_path=args.eval_denoise_path,
+            derain_path=args.eval_derain_path,
+        )
+    trainer = Trainer(cfg, dataset, model=model, eval_hook=eval_hook)
     if args.resume is not None:
         trainer.resume(None if args.resume == "latest" else int(args.resume))
     trainer.fit()

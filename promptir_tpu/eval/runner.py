@@ -125,3 +125,45 @@ def test_derain_dehaze(
     r = run_eval(model_fn, params, dataset, out, pad_base)
     print(f"{task}: psnr: {r['psnr']:.2f}, ssim: {r['ssim']:.4f}")
     return r
+
+
+def make_epoch_eval_hook(
+    denoise_path: Optional[str] = None,
+    derain_path: Optional[str] = None,
+    sigma: float = 15.0,
+    pad_base: int = 64,
+):
+    """Epoch-end evaluation hook for `Trainer(eval_hook=...)` — the
+    reference's `EvaluationCallback.on_train_epoch_end` (train.py:134-172):
+    BSD68 sigma-15 PSNR/SSIM + Rain100L PSNR/SSIM logged to the run logger
+    every epoch. Returns a callable `(eval_step, params) -> metrics dict`;
+    pass either path as None to skip that set."""
+    from promptir_tpu.data.datasets import (
+        DenoiseTestDataset,
+        DerainDehazeDataset,
+    )
+
+    denoise_ds = (
+        DenoiseTestDataset(denoise_path, sigma=sigma) if denoise_path else None
+    )
+    derain_ds = (
+        DerainDehazeDataset(derain_path=derain_path) if derain_path else None
+    )
+
+    def hook(eval_step, params) -> dict:
+        metrics = {}
+        if denoise_ds is not None:
+            r = test_denoise(
+                eval_step, params, denoise_ds, sigma, pad_base=pad_base
+            )
+            metrics[f"eval_psnr_denoise{int(sigma)}"] = r["psnr"]
+            metrics[f"eval_ssim_denoise{int(sigma)}"] = r["ssim"]
+        if derain_ds is not None:
+            r = test_derain_dehaze(
+                eval_step, params, derain_ds, "derain", pad_base=pad_base
+            )
+            metrics["eval_psnr_derain"] = r["psnr"]
+            metrics["eval_ssim_derain"] = r["ssim"]
+        return metrics
+
+    return hook

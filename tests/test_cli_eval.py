@@ -172,3 +172,23 @@ def test_cli_demo_spatial_sharded_matches_single_chip(corpus, tmp_path):
     assert a.shape == b.shape
     # identical math up to psum reassociation -> at most 1 uint8 step
     assert np.abs(a - b).max() <= 1
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "variant", ["easypromptxrestormer", "capromptxrestormereffv2"]
+)
+def test_cli_test_covers_variant_models(corpus, tmp_path, variant):
+    """The reference ships per-variant eval-script clones
+    (test_promptxrestormer.py, test_caprompt.py); here one CLI covers every
+    registered family via --model. Drive two non-PromptIR families — the
+    Easy blocks and the CAMixer-v2 routed blocks (whose deterministic eval
+    path must yield a plain tensor, not the training tuple) — through mode
+    1 end to end."""
+    from promptir_tpu.cli.test import main
+
+    r = main(["--model", variant, "--mode", "1",
+              *_cli_args(corpus, tmp_path / variant)])
+    assert set(r) == {"derain"}
+    assert r["derain"]["n"] == 2 and np.isfinite(r["derain"]["psnr"])
+    assert (tmp_path / variant / "derain" / "rain-0.png").exists()

@@ -34,3 +34,30 @@ def test_convert_cli_roundtrip(golden, tmp_path):
     params = load_params_npz(npz_path)
     y = model.apply({"params": params}, jnp.asarray(g.x_nhwc))
     np.testing.assert_allclose(np.asarray(y), g.y_nhwc, rtol=5e-5, atol=5e-5)
+
+
+def test_check_params_match_readable_errors():
+    """A wrong/bogus state dict must fail with a message that lists the
+    missing paths, unexpected paths, and shape mismatches by name (the
+    debugging surface for anyone porting a reference .ckpt)."""
+    import pytest
+
+    from promptir_tpu.compat.torch_ckpt import check_params_match
+
+    good = {"params": {"conv": {"kernel": jnp.zeros((3, 3, 3, 8)),
+                                "bias": jnp.zeros((8,))},
+                       "norm": {"scale": jnp.zeros((8,))}}}
+    # missing norm/scale, unexpected extra/w, wrong-shape conv/kernel
+    bogus = {"params": {"conv": {"kernel": jnp.zeros((1, 1, 3, 8)),
+                                 "bias": jnp.zeros((8,))},
+                        "extra": {"w": jnp.zeros((2,))}}}
+    with pytest.raises(ValueError) as ei:
+        check_params_match(bogus, good)
+    msg = str(ei.value)
+    assert "missing from checkpoint (1)" in msg and "norm/scale" in msg
+    assert "unexpected in checkpoint (1)" in msg and "extra/w" in msg
+    assert "shape mismatches" in msg and "conv/kernel" in msg
+    assert "(1, 1, 3, 8)" in msg and "(3, 3, 3, 8)" in msg
+
+    # identical trees pass silently
+    check_params_match(good, good)

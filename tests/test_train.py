@@ -129,3 +129,78 @@ def test_gan_loss_matches_torch():
         np.testing.assert_allclose(ours_bce, ref_bce, rtol=1e-6)
     with pytest.raises(ValueError):
         gan_loss(jnp.zeros((2, 2)), True, "wgan")
+
+
+def test_trainer_epoch_end_eval_hook(tiny_cfg, tmp_path):
+    """Epoch-end eval (reference EvaluationCallback, train.py:134-172):
+    BSD68 sigma-15 + Rain100L metrics land in metrics.jsonl every epoch."""
+    import json
+
+    from PIL import Image
+
+    from promptir_tpu.eval.runner import make_epoch_eval_hook
+
+    def write_png(path, seed):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        arr = np.random.default_rng(seed).integers(
+            0, 255, (40, 56, 3), dtype=np.uint8
+        )
+        Image.fromarray(arr).save(path)
+
+    d = tmp_path / "eval"
+    for i in range(2):
+        write_png(str(d / "denoise" / f"img{i}.png"), i)
+        write_png(str(d / "derain" / "input" / f"rain-{i}.png"), 10 + i)
+        write_png(str(d / "derain" / "target" / f"rain-{i}.png"), 20 + i)
+
+    hook = make_epoch_eval_hook(
+        denoise_path=str(d / "denoise"), derain_path=str(d / "derain")
+    )
+    tiny_cfg.train.epochs = 1
+    ds = SyntheticTrainDataset(n=8, patch_size=32)
+    trainer = Trainer(tiny_cfg, ds, model=tiny_model(), eval_hook=hook)
+    trainer.fit()
+
+    with open(os.path.join(tiny_cfg.train.log_dir, "metrics.jsonl")) as f:
+        records = [json.loads(line) for line in f]
+    ev = [r for r in records if "eval_psnr_denoise15" in r]
+    assert len(ev) == 1
+    assert np.isfinite(ev[0]["eval_psnr_denoise15"])
+    assert 0 <= ev[0]["eval_ssim_denoise15"] <= 1
+    assert np.isfinite(ev[0]["eval_psnr_derain"])
+
+
+@pytest.mark.slow
+def test_cli_train_end_to_end(tmp_path):
+    """The training CLI end to end (the reference's `python train.py`):
+    synthetic data, width/depth overrides, scan-accumulated grads, epoch-end
+    denoise eval, checkpoint + metrics stream on disk."""
+    import json
+
+    from PIL import Image
+
+    from promptir_tpu.cli.train import main
+
+    d = tmp_path / "bsd"
+    os.makedirs(d)
+    for i in range(2):
+        arr = np.random.default_rng(i).integers(
+            0, 255, (40, 56, 3), dtype=np.uint8
+        )
+        Image.fromarray(arr).save(str(d / f"img{i}.png"))
+
+    main([
+        "--model", "promptir", "--synthetic", "--epochs", "1",
+        "--batch_size", "2", "--grad_accum", "2", "--patch_size", "32",
+        "--dim", "8", "--num_blocks", "1", "1", "1", "1",
+        "--num_refinement_blocks", "1",
+        "--eval_denoise_path", str(d),
+        "--ckpt_dir", str(tmp_path / "ckpt"),
+        "--log_dir", str(tmp_path / "logs"),
+    ])
+    assert os.path.isdir(tmp_path / "ckpt" / "0")
+    with open(tmp_path / "logs" / "metrics.jsonl") as f:
+        records = [json.loads(line) for line in f]
+    assert any("train_loss" in r for r in records)
+    ev = [r for r in records if "eval_psnr_denoise15" in r]
+    assert len(ev) == 1 and np.isfinite(ev[0]["eval_psnr_denoise15"])
