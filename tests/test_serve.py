@@ -1,0 +1,196 @@
+"""Serving runtime: dynamic-batching engine + HTTP server.
+
+The reference has no serving path (demo.py is a serial batch-1 script);
+these tests lock the engine's contract: grouped fixed-shape batches,
+per-request pad/crop round-trip equal to the direct forward, correct
+results under concurrency and mixed sizes, and the HTTP surface.
+"""
+
+import io
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from promptir_tpu.models import create_model
+from promptir_tpu.serve.engine import InferenceEngine, pad_image_np
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    model = create_model(
+        "promptir", dim=8, num_blocks=(1, 1, 1, 1),
+        num_refinement_blocks=1, decoder=False,
+    )
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))[
+        "params"
+    ]
+
+    @jax.jit
+    def fn(p, x):
+        return model.apply({"params": p}, x)
+
+    return fn, params
+
+
+def make_img(seed, h=30, w=38):
+    return np.random.default_rng(seed).uniform(size=(h, w, 3)).astype(
+        np.float32
+    )
+
+
+def direct(fn, params, img, pad_base=8):
+    xp = pad_image_np(img, pad_base)[None]
+    y = np.clip(np.asarray(fn(params, jnp.asarray(xp))), 0.0, 1.0)
+    return y[0, : img.shape[0], : img.shape[1], :]
+
+
+def test_engine_batches_concurrent_same_shape(tiny):
+    fn, params = tiny
+    imgs = [make_img(i) for i in range(3)]
+    with InferenceEngine(
+        fn, params, pad_base=8, max_batch=4, batch_timeout_ms=200.0
+    ) as eng:
+        outs = eng.restore_many(imgs)
+        s = eng.stats()
+    for img, out in zip(imgs, outs):
+        assert out.shape == img.shape
+        np.testing.assert_allclose(out, direct(fn, params, img), atol=2e-5)
+    # all three rode one fixed-shape batch (padded to max_batch=4)
+    assert s["requests"] == 3 and s["batches"] == 1
+    assert s["compiled_shapes"] == 1
+
+
+def test_engine_mixed_sizes_grouped_by_bucket(tiny):
+    fn, params = tiny
+    a = make_img(0, 30, 38)   # pads to 32x40
+    b = make_img(1, 31, 39)   # pads to 32x40 -> same bucket as a
+    c = make_img(2, 30, 30)   # pads to 32x32 -> its own bucket
+    with InferenceEngine(
+        fn, params, pad_base=8, max_batch=4, batch_timeout_ms=100.0
+    ) as eng:
+        outs = eng.restore_many([a, b, c])
+        s = eng.stats()
+    for img, out in zip([a, b, c], outs):
+        assert out.shape == img.shape
+        np.testing.assert_allclose(out, direct(fn, params, img), atol=2e-5)
+    assert s["requests"] == 3 and s["batches"] == 2
+    assert s["compiled_shapes"] == 2
+
+
+def test_engine_tiled_fallback_for_oversized_images(tiny):
+    """Images padded beyond tile_threshold_px are served through the
+    compiled overlap-blend tiler (one fixed tile program for unbounded
+    input resolutions) and must equal a direct tiled_inference call."""
+    from promptir_tpu.eval.tiling import tiled_inference
+
+    fn, params = tiny
+    small = make_img(0, 30, 38)            # 32x40 = 1280 px -> batched
+    big = make_img(1, 40, 48)              # 40x48 = 1920 px -> tiled
+    with InferenceEngine(
+        fn, params, pad_base=8, max_batch=4, batch_timeout_ms=50.0,
+        tile_threshold_px=1500, tile_size=16, tile_overlap=8, tile_chunk=4,
+    ) as eng:
+        out_small, out_big = eng.restore_many([small, big])
+        s = eng.stats()
+    np.testing.assert_allclose(
+        out_small, direct(fn, params, small), atol=2e-5
+    )
+    ref_big = np.asarray(
+        tiled_inference(
+            fn, params, jnp.asarray(big[None]), tile=16, overlap=8,
+            chunk=4, bucket=8,
+        )
+    )[0]
+    assert out_big.shape == big.shape
+    np.testing.assert_allclose(out_big, ref_big, atol=2e-5)
+    assert s["tiled_requests"] == 1 and s["requests"] == 2
+
+
+def test_engine_surfaces_model_errors(tiny):
+    _, params = tiny
+
+    def bad_fn(p, x):
+        raise RuntimeError("boom")
+
+    with InferenceEngine(bad_fn, params, max_batch=2) as eng:
+        with pytest.raises(RuntimeError, match="boom"):
+            eng.restore(make_img(0))
+    with pytest.raises(RuntimeError, match="closed"):
+        eng.submit(make_img(1))
+
+
+def test_http_server_restore_and_health(tiny, monkeypatch):
+    from promptir_tpu.cli import serve as serve_cli
+
+    fn, params = tiny
+
+    # build_engine constructs its own model; patch to the module fixture's
+    # tiny net so the test reuses the already-compiled forward
+    def fake_build_engine(args):
+        eng = InferenceEngine(
+            fn, params, pad_base=args.pad_base, max_batch=args.max_batch,
+            batch_timeout_ms=args.batch_timeout_ms,
+        )
+        return eng, {"model": "tiny", "backend": jax.default_backend(),
+                     "device_count": jax.device_count(),
+                     "max_batch": args.max_batch,
+                     "pad_base": args.pad_base, "dtype": "float32"}
+
+    monkeypatch.setattr(serve_cli, "build_engine", fake_build_engine)
+    args = serve_cli.build_parser().parse_args(
+        ["--port", "0", "--max_batch", "4", "--batch_timeout_ms", "1"]
+    )
+    httpd, eng = serve_cli.make_server(args)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/healthz"
+        ) as r:
+            health = json.loads(r.read())
+        assert health["status"] == "ok" and health["model"] == "tiny"
+
+        from PIL import Image
+
+        img = make_img(7)
+        buf = io.BytesIO()
+        Image.fromarray((img * 255).round().astype(np.uint8)).save(
+            buf, format="PNG"
+        )
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/restore", data=buf.getvalue(),
+            method="POST",
+        )
+        with urllib.request.urlopen(req) as r:
+            assert r.headers["Content-Type"] == "image/png"
+            out = np.asarray(Image.open(io.BytesIO(r.read())), np.float32)
+        # the uint8 PNG round-trip on both legs allows 1-step error
+        ref = direct(
+            fn, params, np.asarray(
+                Image.open(io.BytesIO(buf.getvalue())).convert("RGB"),
+                np.float32,
+            ) / 255.0,
+        )
+        assert out.shape == img.shape
+        assert np.abs(out - (ref * 255).round()).max() <= 1
+
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/stats"
+        ) as r:
+            stats = json.loads(r.read())
+        assert stats["requests"] >= 1
+
+        # unknown path -> 404
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/nope")
+        assert ei.value.code == 404
+    finally:
+        httpd.shutdown()
+        eng.close()
