@@ -29,7 +29,13 @@ class CheckpointManager:
             ),
         )
 
-    def save(self, epoch: int, state: Any) -> None:
+    def save(self, epoch: int, state: Any, overwrite: bool = False) -> None:
+        """`overwrite=True` replaces an existing epoch — needed when a
+        preempted epoch is replayed after resume (Orbax otherwise raises
+        StepAlreadyExistsError; it has no in-place overwrite)."""
+        if overwrite and epoch in (self._mgr.all_steps() or ()):
+            self._mgr.wait_until_finished()
+            self._mgr.delete(epoch)
         self._mgr.save(epoch, args=ocp.args.StandardSave(state))
 
     def restore(self, state_template: Any, epoch: Optional[int] = None) -> Any:

@@ -39,6 +39,7 @@ class Trainer:
         model=None,
         eval_hook: Optional[Callable] = None,
         aux_loss_fn: Optional[Callable] = None,
+        preemption_guard=None,
     ):
         self.cfg = cfg
         self.mesh = create_mesh(cfg.system.n_data, cfg.system.n_model)
@@ -100,6 +101,11 @@ class Trainer:
         self.logger = MetricLogger(cfg.train.log_dir, cfg.train.wandb_project)
         self.global_step = 0
         self.start_epoch = 0
+        # preemption-safe training (SIGTERM/SIGINT -> checkpoint -> clean
+        # return; the reference has no preemption handling, SURVEY.md §5).
+        # Pass a PreemptionGuard to share it (cooperative shutdown/tests);
+        # by default one is installed at fit() time.
+        self.preemption = preemption_guard
 
     def resume(self, epoch: Optional[int] = None) -> None:
         self.state = self.ckpt.restore(self.state, epoch)
@@ -107,8 +113,33 @@ class Trainer:
         self.global_step = int(self.state.step)
         print(f"resumed from epoch {self.start_epoch - 1}")
 
+    def _save_preempted(self, epoch: int) -> None:
+        """Checkpoint so `resume()` replays the interrupted epoch: the
+        state is saved mid-epoch but tagged epoch-1 (resume continues at
+        state.epoch + 1). Partial progress in the interrupted epoch is
+        kept — replaying it continues training from the saved weights."""
+        self.state = self.state.replace(
+            epoch=jnp.asarray(epoch - 1, jnp.int32)
+        )
+        self.ckpt.save(epoch, jax.device_get(self.state), overwrite=True)
+        self.ckpt.wait()
+        self.logger.log(
+            {"preempted_in_epoch": epoch}, self.global_step
+        )
+        self.logger.close()
+        print(
+            f"preempted in epoch {epoch}: checkpoint saved "
+            f"(resume replays the epoch)"
+        )
+
     def fit(self) -> None:
         cfg = self.cfg
+        guard = self.preemption
+        own_guard = guard is None
+        if own_guard:
+            from promptir_tpu.train.preemption import PreemptionGuard
+
+            guard = PreemptionGuard()
         # profiler window: steps [2, 7) of the first epoch land in an XLA
         # trace viewable in TensorBoard/Perfetto (the reference has no
         # profiling story at all, SURVEY.md §5)
@@ -133,6 +164,13 @@ class Trainer:
                     prof_stopped = True
                     print(f"profiler trace written to {prof_dir}")
                 losses.append(metrics["train_loss"])
+                if guard.preempted():
+                    if prof_started and not prof_stopped:
+                        jax.profiler.stop_trace()
+                    self._save_preempted(epoch)
+                    if own_guard:
+                        guard.restore()
+                    return
                 if self.global_step % 50 == 0:
                     self.logger.log(
                         {
@@ -170,7 +208,9 @@ class Trainer:
                 self.global_step,
             )
             self.state = self.state.replace(epoch=jnp.asarray(epoch, jnp.int32))
-            self.ckpt.save(epoch, jax.device_get(self.state))
+            # overwrite handles replaying an epoch whose preemption
+            # checkpoint already occupies this step
+            self.ckpt.save(epoch, jax.device_get(self.state), overwrite=True)
             if (
                 self.eval_hook is not None
                 and (epoch + 1) % cfg.train.eval_every_epochs == 0
@@ -179,3 +219,5 @@ class Trainer:
                 self.logger.log(eval_metrics, self.global_step)
         self.ckpt.wait()
         self.logger.close()
+        if own_guard:
+            guard.restore()

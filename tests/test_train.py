@@ -131,6 +131,66 @@ def test_gan_loss_matches_torch():
         gan_loss(jnp.zeros((2, 2)), True, "wgan")
 
 
+def test_preemption_guard_latches_sigterm():
+    import signal
+
+    from promptir_tpu.train.preemption import PreemptionGuard
+
+    with PreemptionGuard() as guard:
+        assert not guard.preempted()
+        os.kill(os.getpid(), signal.SIGTERM)
+        assert guard.preempted()  # latched, process still alive
+    # restore() reinstalled the previous handler
+    assert signal.getsignal(signal.SIGTERM) is not guard._on_signal
+
+
+def test_trainer_preemption_checkpoint_and_resume(tiny_cfg):
+    """Preemption-safe training (the reference has no preemption handling,
+    SURVEY.md §5): a preemption request mid-epoch checkpoints and returns
+    cleanly; resume replays the interrupted epoch and completes the run."""
+    import json
+
+    from promptir_tpu.train.preemption import PreemptionGuard
+
+    guard = PreemptionGuard(signals=())  # cooperative (no real signal)
+
+    class PreemptAfter:
+        """Request preemption once the loader has pulled k samples (the
+        loader prefetches, so the flag is up within epoch 0)."""
+
+        def __init__(self, ds, k):
+            self.ds, self.k, self.n = ds, k, 0
+
+        def __len__(self):
+            return len(self.ds)
+
+        def get(self, i, rng=None):
+            self.n += 1
+            if self.n == self.k:
+                guard.request()
+            return self.ds.get(i, rng)
+
+    tiny_cfg.train.epochs = 2
+    ds = SyntheticTrainDataset(n=16, patch_size=32)
+    trainer = Trainer(
+        tiny_cfg, PreemptAfter(ds, 4), model=tiny_model(),
+        preemption_guard=guard,
+    )
+    trainer.fit()
+    # preempted inside epoch 0; its checkpoint is tagged so resume
+    # replays the epoch (state.epoch == -1, saved under step 0)
+    assert trainer.ckpt.latest_epoch() == 0
+    with open(os.path.join(tiny_cfg.train.log_dir, "metrics.jsonl")) as f:
+        records = [json.loads(line) for line in f]
+    assert any(r.get("preempted_in_epoch") == 0 for r in records)
+
+    t2 = Trainer(tiny_cfg, ds, model=tiny_model())
+    t2.resume(None)
+    assert t2.start_epoch == 0  # replays the interrupted epoch
+    t2.fit()  # re-saving epoch 0 overwrites the preemption checkpoint
+    assert t2.ckpt.latest_epoch() == 1
+
+
 def test_trainer_epoch_end_eval_hook(tiny_cfg, tmp_path):
     """Epoch-end eval (reference EvaluationCallback, train.py:134-172):
     BSD68 sigma-15 + Rain100L metrics land in metrics.jsonl every epoch."""
