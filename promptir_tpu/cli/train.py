@@ -46,6 +46,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--n_data", type=int, default=None, help="DP mesh size")
     p.add_argument("--remat", action="store_true")
     p.add_argument(
+        "--remat_levels", type=int, nargs="*", default=None,
+        help="with --remat: rematerialize only these U-Net levels "
+             "(1=dim .. 4=latent); levels 1-2 hold ~90%% of activation "
+             "memory, so '--remat_levels 1 2' keeps the memory win while "
+             "skipping the cheap-to-store levels' backward replay",
+    )
+    p.add_argument(
         "--fused", action="store_true",
         help="train with the fused Pallas kernels (custom-VJP backward; "
              "promptir only). NOTE: measured SLOWER than --remat for "
@@ -106,6 +113,8 @@ def main(argv=None):
     cfg.system.compute_dtype = args.dtype
     cfg.system.n_data = args.n_data
     cfg.system.remat = args.remat
+    if args.remat_levels is not None:
+        cfg.system.remat_levels = tuple(args.remat_levels)
     cfg.system.profile_dir = args.profile_dir
 
     if args.synthetic:
@@ -142,6 +151,10 @@ def main(argv=None):
             kw["dim"] = args.dim
         if args.fused:
             kw["fused_ffn"] = True
+        if args.remat:  # keep remat when size overrides build the model
+            kw["remat"] = True
+            if args.remat_levels is not None:
+                kw["remat_levels"] = tuple(args.remat_levels)
         model = create_model(args.model, **kw)
 
     from promptir_tpu.utils.compile_cache import enable_persistent_cache

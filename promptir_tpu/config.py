@@ -66,6 +66,7 @@ class SystemConfig:
     compute_dtype: str = "float32"  # "bfloat16" for max MXU throughput
     matmul_precision: Optional[str] = None  # e.g. "highest" for parity
     remat: bool = False  # rematerialize transformer blocks
+    remat_levels: Optional[tuple] = None  # restrict remat to these levels
     tile: int = 128
     tile_overlap: int = 32
     tile_chunk: int = 8

@@ -20,8 +20,7 @@ Layout: NHWC. Sequential stacks are named `<stack>_<i>` (torch key
 
 from __future__ import annotations
 
-from dataclasses import field
-from typing import Sequence
+from typing import Optional, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -56,6 +55,12 @@ class PromptIR(nn.Module):
     dtype: jnp.dtype = jnp.float32
     fused_ffn: bool = False  # Pallas LN+GDFN fusion (inference/bench)
     remat: bool = False  # rematerialize blocks (memory <-> FLOPs trade)
+    # With remat=True, restrict rematerialization to these U-Net levels
+    # (1 = dim, 2 = 2*dim, 3 = 4*dim, 4 = latent). The pixel-heavy levels
+    # 1-2 hold ~90% of activation memory but also ~85% of recompute cost;
+    # levels 3-4's activations are cheap to store, so skipping their
+    # replay trades a little memory for backward time. None = all levels.
+    remat_levels: Optional[Sequence[int]] = None
 
     def _stack(self, name: str, n: int, dim: int, heads: int):
         common = dict(
@@ -67,7 +72,12 @@ class PromptIR(nn.Module):
             dtype=self.dtype,
             fused_ffn=self.fused_ffn,
         )
-        cls = nn.remat(TransformerBlock) if self.remat else TransformerBlock
+        level = {self.dim: 1, 2 * self.dim: 2, 4 * self.dim: 3,
+                 8 * self.dim: 4}[dim]
+        use_remat = self.remat and (
+            self.remat_levels is None or level in self.remat_levels
+        )
+        cls = nn.remat(TransformerBlock) if use_remat else TransformerBlock
         return [cls(**common, name=f"{name}_{i}") for i in range(n)]
 
     def _run(self, name: str, n: int, dim: int, heads: int, x):

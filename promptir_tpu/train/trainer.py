@@ -50,6 +50,8 @@ class Trainer:
         model_kw = {"dtype": dtype}
         if cfg.system.remat:
             model_kw["remat"] = True  # supported by the flagship model
+            if cfg.system.remat_levels:
+                model_kw["remat_levels"] = tuple(cfg.system.remat_levels)
         self.model = model if model is not None else create_model(
             cfg.train.model, **model_kw
         )

@@ -131,6 +131,44 @@ def test_gan_loss_matches_torch():
         gan_loss(jnp.zeros((2, 2)), True, "wgan")
 
 
+def test_remat_value_preserving_full_and_selective():
+    """nn.remat trades memory for recompute without changing values:
+    forward and grads match the plain model exactly for remat=True and
+    for selective remat (remat_levels restricts replay to the pixel-heavy
+    levels; levels 3-4's activations are cheap to store)."""
+    import jax
+
+    from promptir_tpu.models import create_model
+
+    x = jnp.asarray(
+        np.random.default_rng(0).uniform(size=(1, 32, 32, 3)), jnp.float32
+    )
+    kw = dict(dim=8, num_blocks=(1, 1, 1, 1), num_refinement_blocks=1,
+              decoder=False)
+    plain = create_model("promptir", **kw)
+    params = plain.init(jax.random.PRNGKey(0), x)["params"]
+
+    def loss(model):
+        return jax.jit(
+            lambda p: jnp.mean(jnp.abs(model.apply({"params": p}, x)))
+        )
+
+    ref_l, ref_g = jax.value_and_grad(loss(plain))(params)
+    for variant_kw in (
+        {"remat": True},
+        {"remat": True, "remat_levels": (1, 2)},
+    ):
+        m = create_model("promptir", **kw, **variant_kw)
+        l, g = jax.value_and_grad(loss(m))(params)
+        np.testing.assert_allclose(float(l), float(ref_l), rtol=1e-6)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(ref_g), jax.tree_util.tree_leaves(g)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7
+            )
+
+
 def test_preemption_guard_latches_sigterm():
     import signal
 

@@ -46,6 +46,8 @@ def main():
     p.add_argument("--fused", action="store_true",
                    help="fused Pallas forward (custom-VJP remat backward)")
     p.add_argument("--remat", action="store_true")
+    p.add_argument("--remat_levels", type=int, nargs="*", default=None,
+                   help="restrict remat to these U-Net levels (1..4)")
     p.add_argument("--inner", type=int, default=8)
     p.add_argument("--reps", type=int, default=3)
     p.add_argument("--blocks", type=int, nargs=4, default=None,
@@ -63,6 +65,8 @@ def main():
     kw = dict(dtype=dtype)
     if args.blocks is not None:
         kw.update(num_blocks=tuple(args.blocks), num_refinement_blocks=1)
+    if args.remat and args.remat_levels is not None:
+        kw["remat_levels"] = tuple(args.remat_levels)
     model = create_model(
         args.model, fused_ffn=args.fused, remat=args.remat, **kw
     )
