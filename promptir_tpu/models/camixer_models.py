@@ -337,7 +337,12 @@ class _CABase(nn.Module):
             p3 = PromptGenBlock(320, 5, 16, 8 * d, dtype=self.dtype,
                                 name="prompt3")(x)
             x = jnp.concatenate([x, p3], axis=-1)
-            x = self._interaction(4 * d + 512, "noise_level3")(x)
+            # reference literal is int(dim*2**2)+512
+            # (camixer_prompt_xrestormer_eff.py:735), which equals the
+            # actual concat width 8d+320 only at its hardcoded dim=48;
+            # deriving from the concat keeps the identical param tree at
+            # dim=48 (ckpt/golden parity) and builds at any width
+            x = self._interaction(8 * d + 320, "noise_level3")(x)
             x = conv1(4 * d, "reduce_noise_level3")(x)
 
         x = Upsample(4 * d, self.dtype, name="up4_3")(x)
@@ -349,7 +354,8 @@ class _CABase(nn.Module):
             p2 = PromptGenBlock(128, 5, 32, 4 * d, dtype=self.dtype,
                                 name="prompt2")(x)
             x = jnp.concatenate([x, p2], axis=-1)
-            x = self._interaction(2 * d + 224, "noise_level2")(x)
+            # reference int(dim*2**1)+224 == actual 4d+128 only at dim=48
+            x = self._interaction(4 * d + 128, "noise_level2")(x)
             x = conv1(4 * d, "reduce_noise_level2")(x)
 
         x = Upsample(4 * d, self.dtype, name="up3_2")(x)
