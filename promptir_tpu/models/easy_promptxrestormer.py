@@ -95,7 +95,10 @@ class EasyPromptXRestormer(nn.Module):
             p3 = PromptGenBlock(320, 5, 16, 8 * d, dtype=self.dtype,
                                 name="prompt3")(x)
             x = jnp.concatenate([x, p3], axis=-1)
-            x = ctb(4 * d + 512, "noise_level3")(x)
+            # reference literal int(dim*4)+512 equals the actual concat
+            # width 8d+320 only at its hardcoded dim=48; derive from the
+            # concat (identical param tree at 48, builds at any width)
+            x = ctb(8 * d + 320, "noise_level3")(x)
             x = conv1(4 * d, "reduce_noise_level3")(x)
 
         x = Upsample(4 * d, self.dtype, name="up4_3")(x)
@@ -107,7 +110,7 @@ class EasyPromptXRestormer(nn.Module):
             p2 = PromptGenBlock(128, 5, 32, 4 * d, dtype=self.dtype,
                                 name="prompt2")(x)
             x = jnp.concatenate([x, p2], axis=-1)
-            x = ctb(2 * d + 224, "noise_level2")(x)
+            x = ctb(4 * d + 128, "noise_level2")(x)  # ref 2d+224 == 4d+128 at d=48 only
             x = conv1(4 * d, "reduce_noise_level2")(x)
 
         x = Upsample(4 * d, self.dtype, name="up3_2")(x)
