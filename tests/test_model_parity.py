@@ -63,3 +63,35 @@ def test_promptir_param_count():
     )
     n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(init))
     assert n == 35_592_263  # exact match with the reference model
+
+
+def test_all_prompt_models_build_at_non_default_dim():
+    """Width-regression guard: the reference hardcodes dim=48-only
+    literals for the prompt-interaction widths (e.g. noise_level3 as
+    int(dim*4)+512 == actual 8d+320 only at d=48,
+    camixer_prompt_xrestormer_eff.py:735); our models derive the width
+    from the actual concat, so every family must SHAPE-CHECK at a
+    non-default dim. jax.eval_shape traces without running — catches any
+    hardcoded-width mismatch in seconds."""
+    cases = {
+        "promptir": {},
+        "promptxrestormereffir": {},
+        "easypromptxrestormer": {},
+        "promptxrestormerir": {},
+        "capromptxrestormereff": {"ratio": 0.5},
+        "capromptxrestormereffv2": {"ratio": 0.5},
+        "catapromptxrestormer": {"ratio": 0.5},
+    }
+    x = jnp.zeros((1, 64, 64, 3))
+    for name, extra in cases.items():
+        model = create_model(
+            name, dim=16, num_blocks=(1, 1, 1, 1),
+            num_refinement_blocks=1, **extra,
+        )
+        try:
+            shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), x)
+        except TypeError as e:  # models whose __call__ needs flags
+            shapes = jax.eval_shape(
+                lambda r, t: model.init(r, t, True), jax.random.PRNGKey(0), x
+            )
+        assert shapes["params"], name
