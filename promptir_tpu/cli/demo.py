@@ -67,6 +67,7 @@ def main(argv=None):
     from promptir_tpu.eval.padding import pad_to_multiple_reflect
     from promptir_tpu.eval.tiling import tiled_inference
     from promptir_tpu.models import create_model
+    from promptir_tpu.parallel.spatial import pad_bases
     from promptir_tpu.utils.compile_cache import enable_persistent_cache
     from promptir_tpu.utils.image_io import save_image
 
@@ -144,15 +145,9 @@ def main(argv=None):
             from promptir_tpu.parallel.spatial import spatial_sharded_apply
 
             n = smesh.shape["data"]
-            # Uformer-skeleton families have 4 downsamples and 8px
-            # windows at every level: both dims must be multiples of
-            # 16*8=128 (global window alignment) and H additionally a
-            # multiple of 16*n (stripes stay even through all four
-            # downsamples) -> lcm. Other families: 3 downsamples, 8*n.
-            if args.model in ("promptuformerir", "capromptuformerir"):
-                base = int(np.lcm(128, 16 * n))
-            else:
-                base = 8 * n
+            # per-family (H, W) bases: window alignment at every U-Net
+            # level + even stripes per shard (parallel/spatial.py)
+            base = pad_bases(args.model, n)
             try:
                 xp = pad_to_multiple_reflect(x, base)
             except ValueError:
@@ -171,7 +166,10 @@ def main(argv=None):
             )
             y = jnp.clip(y[:, :h, :w, :], 0.0, 1.0)
         else:
-            xp = pad_to_multiple_reflect(x, 8)
+            # the reference pads to 8 (demo.py:17-24) which only covers
+            # window-free PromptIR; windowed families need their levels'
+            # grids window-aligned too
+            xp = pad_to_multiple_reflect(x, pad_bases(args.model))
             y = jnp.clip(model_fn(params, xp)[:, :h, :w, :], 0.0, 1.0)
         out = os.path.join(args.output_path, f"{name}.png")
         save_image(out, np.asarray(y[0]))

@@ -13,10 +13,13 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def target_size(h: int, w: int, base: int) -> tuple[int, int]:
+def target_size(h: int, w: int, base) -> tuple[int, int]:
+    """Next (H, W) multiples of `base` — one int for both dims, or a
+    (base_h, base_w) pair (spatial sharding constrains H more than W)."""
+    bh, bw = (base, base) if isinstance(base, int) else base
     return (
-        (h + base - 1) // base * base,
-        (w + base - 1) // base * base,
+        (h + bh - 1) // bh * bh,
+        (w + bw - 1) // bw * bw,
     )
 
 

@@ -254,6 +254,10 @@ def apply_block_stack(blocks, x, *, fused: bool, expansion: float = 2.66,
         return (y, padded) if out_padded else y
 
     if not blocks:
+        if in_padded is not None and not out_padded:
+            # the caller expects plain NHWC back (same contract as the
+            # non-fused fallback below)
+            return unpad_nhwc(x, *in_padded)
         return _ret(x, in_padded)
     blk = blocks[0]
     fused = fused and len(blocks) > 1 and blk.fused_ffn and not blk.use_bias

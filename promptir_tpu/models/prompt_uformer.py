@@ -25,8 +25,7 @@ import numpy as np
 from flax import linen as nn
 
 from promptir_tpu.models import register_model
-from promptir_tpu.ops.conv import Conv, Dense
-from promptir_tpu.ops.resize import resize_bilinear
+from promptir_tpu.ops.conv import Conv
 from promptir_tpu.ops.window_attention import (
     InputProj,
     LeWinTransformerBlock,
@@ -95,34 +94,17 @@ class UformerPromptBlock(nn.Module):
             nn.initializers.uniform(scale=1.0),
             (self.prompt_len, self.prompt_size, self.prompt_size, self.prompt_dim),
         )
-        # Under a spatial-sharding trace x is an H stripe: GAP -> pmean,
-        # bilinear resize at GLOBAL row coordinates with a local slice
-        # (same recipe as ops/prompt.py:PromptGenBlock).
-        import jax
-
-        from promptir_tpu.parallel.spatial import current_spatial_axis
-
-        axis = current_spatial_axis()
-        emb = jnp.mean(x, axis=(1, 2))
-        if axis is not None:
-            emb = jax.lax.pmean(emb, axis)
-        weights = nn.softmax(
-            Dense(self.prompt_len, dtype=self.dtype, name="linear_layer")(
-                emb
-            ).astype(jnp.float32),
-            axis=-1,
+        # this family's resize is align_corners=True
+        # (/root/reference/net/prompt_uformer.py:1104)
+        from promptir_tpu.ops.prompt import (
+            mix_and_resize_prompt,
+            prompt_gap_weights,
         )
-        prompt = jnp.einsum(
-            "bl,lhwc->bhwc", weights, bank.astype(jnp.float32)
-        ).astype(x.dtype)
-        if axis is not None:
-            n = jax.lax.axis_size(axis)
-            full = resize_bilinear(prompt, (h * n, w), align_corners=True)
-            prompt = jax.lax.dynamic_slice_in_dim(
-                full, jax.lax.axis_index(axis) * h, h, axis=1
-            )
-        else:
-            prompt = resize_bilinear(prompt, (h, w), align_corners=True)
+
+        weights = prompt_gap_weights(x, self.prompt_len, self.dtype)
+        prompt = mix_and_resize_prompt(
+            bank, weights, h, w, True, x.dtype
+        )
         prompt = Conv(
             self.prompt_dim, (3, 3), padding=((1, 1), (1, 1)),
             use_bias=False, dtype=self.dtype, name="conv3x3",

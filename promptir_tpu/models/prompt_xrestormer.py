@@ -18,8 +18,7 @@ from flax import linen as nn
 
 from promptir_tpu.models import register_model
 from promptir_tpu.models.xrestormer import XRestormer, XTransformerBlock
-from promptir_tpu.ops.conv import Conv, Dense
-from promptir_tpu.ops.resize import resize_bilinear
+from promptir_tpu.ops.conv import Conv
 
 
 class PromptXBlock(nn.Module):
@@ -48,32 +47,17 @@ class PromptXBlock(nn.Module):
             nn.initializers.uniform(scale=1.0),
             (self.prompt_len, self.prompt_size, self.prompt_size, self.prompt_dim),
         )
-        # sharded trace: GAP -> pmean, resize at global row coords (see
-        # ops/prompt.py PromptGenBlock — same recipe for this inline copy)
-        import jax as _jax
-
-        from promptir_tpu.parallel.spatial import current_spatial_axis
-
-        _axis = current_spatial_axis()
-        emb = jnp.mean(x, axis=(1, 2))
-        if _axis is not None:
-            emb = _jax.lax.pmean(emb, _axis)
-        weights = nn.softmax(
-            Dense(self.prompt_len, dtype=self.dtype, name="linear_layer")(
-                emb
-            ).astype(jnp.float32),
-            axis=-1,
+        # this family's resize is align_corners=True
+        # (/root/reference/net/prompt_xrestormer.py:351)
+        from promptir_tpu.ops.prompt import (
+            mix_and_resize_prompt,
+            prompt_gap_weights,
         )
-        prompt = jnp.einsum(
-            "bl,lhwc->bhwc", weights, bank.astype(jnp.float32)
-        ).astype(x.dtype)
-        if _axis is not None:
-            n = _jax.lax.axis_size(_axis)
-            full = resize_bilinear(prompt, (h * n, w), align_corners=True)
-            start = _jax.lax.axis_index(_axis) * h
-            prompt = _jax.lax.dynamic_slice_in_dim(full, start, h, axis=1)
-        else:
-            prompt = resize_bilinear(prompt, (h, w), align_corners=True)
+
+        weights = prompt_gap_weights(x, self.prompt_len, self.dtype)
+        prompt = mix_and_resize_prompt(
+            bank, weights, h, w, True, x.dtype
+        )
         prompt = Conv(
             self.prompt_dim, (3, 3), padding=((1, 1), (1, 1)),
             use_bias=False, dtype=self.dtype, name="conv3x3",
@@ -136,27 +120,9 @@ class PromptXRestormer(XRestormer):
         d = self.dim
         nb = self.num_blocks
         if self.scale > 1:
-            from promptir_tpu.parallel.spatial import (
-                current_spatial_axis,
-                sharded_resize_bilinear,
-            )
+            from promptir_tpu.parallel.spatial import upscale_input
 
-            b, h, w, _ = inp_img.shape
-            axis = current_spatial_axis()
-            if axis is not None:
-                # bilinear samples cross stripe seams: resize the (cheap,
-                # 3-channel) input at GLOBAL coordinates and re-slice
-                import jax as _jax
-
-                n = _jax.lax.axis_size(axis)
-                inp_img = sharded_resize_bilinear(
-                    inp_img, (h * n * self.scale, w * self.scale), axis
-                )
-            else:
-                inp_img = resize_bilinear(
-                    inp_img, (h * self.scale, w * self.scale),
-                    align_corners=False,
-                )
+            inp_img = upscale_input(inp_img, self.scale)
         conv1 = lambda cout, name: Conv(  # noqa: E731
             cout, (1, 1), use_bias=self.use_bias, dtype=self.dtype, name=name
         )

@@ -28,7 +28,6 @@ from promptir_tpu.ops.resample import (
     FewChannelConv3,
     Upsample,
 )
-from promptir_tpu.ops.resize import resize_bilinear
 
 
 class ChannelTransformerBlock(nn.Module):
@@ -75,27 +74,9 @@ class PromptXRestormerEff(XRestormer):
         d = self.dim
         nb = self.num_blocks
         if self.scale > 1:
-            from promptir_tpu.parallel.spatial import (
-                current_spatial_axis,
-                sharded_resize_bilinear,
-            )
+            from promptir_tpu.parallel.spatial import upscale_input
 
-            b, h, w, _ = inp_img.shape
-            axis = current_spatial_axis()
-            if axis is not None:
-                # bilinear samples cross stripe seams: resize the (cheap,
-                # 3-channel) input at GLOBAL coordinates and re-slice
-                import jax as _jax
-
-                n = _jax.lax.axis_size(axis)
-                inp_img = sharded_resize_bilinear(
-                    inp_img, (h * n * self.scale, w * self.scale), axis
-                )
-            else:
-                inp_img = resize_bilinear(
-                    inp_img, (h * self.scale, w * self.scale),
-                    align_corners=False,
-                )
+            inp_img = upscale_input(inp_img, self.scale)
         conv1 = lambda cout, name: Conv(  # noqa: E731
             cout, (1, 1), use_bias=self.use_bias, dtype=self.dtype, name=name
         )

@@ -25,6 +25,51 @@ from promptir_tpu.ops.conv import Conv, Dense
 from promptir_tpu.ops.resize import resize_bilinear
 
 
+def prompt_gap_weights(
+    x: jnp.ndarray, prompt_len: int, dtype, name: str = "linear_layer"
+) -> jnp.ndarray:
+    """softmax(Linear(GAP(x))) mixing weights (reference model.py:229-230).
+
+    Call from inside a flax @compact body (creates the `name` Dense there).
+    Under a spatial-sharding trace the GAP is exact: equal stripes ->
+    pmean of local means (parallel/spatial.py:global_mean_hw)."""
+    from promptir_tpu.parallel.spatial import global_mean_hw
+
+    emb = global_mean_hw(x, keepdims=False)  # (B, C)
+    logits = Dense(prompt_len, dtype=dtype, name=name)(emb)
+    return nn.softmax(logits.astype(jnp.float32), axis=-1)
+
+
+def mix_and_resize_prompt(
+    bank: jnp.ndarray,
+    weights: jnp.ndarray,
+    h: int,
+    w: int,
+    align_corners: bool,
+    dtype,
+) -> jnp.ndarray:
+    """Weighted bank sum resized to the (possibly sharded) feature grid.
+
+    (B,L) x (L,S,S,C) -> (B,h,w,C). Under a spatial-sharding trace `h` is
+    this shard's stripe: the tiny mix is computed replicated, the bilinear
+    resize runs at GLOBAL row coordinates, and the shard slices its own
+    rows — bit-identical to the unsharded resize."""
+    import jax
+
+    from promptir_tpu.parallel.spatial import current_spatial_axis
+
+    prompt = jnp.einsum(
+        "bl,lhwc->bhwc", weights, bank.astype(jnp.float32)
+    ).astype(dtype)
+    axis = current_spatial_axis()
+    if axis is None:
+        return resize_bilinear(prompt, (h, w), align_corners)
+    n = jax.lax.axis_size(axis)
+    full = resize_bilinear(prompt, (h * n, w), align_corners)
+    start = jax.lax.axis_index(axis) * h
+    return jax.lax.dynamic_slice_in_dim(full, start, h, axis=1)
+
+
 class PromptGenBlock(nn.Module):
     prompt_dim: int = 128
     prompt_len: int = 5
@@ -41,35 +86,10 @@ class PromptGenBlock(nn.Module):
             nn.initializers.uniform(scale=1.0),
             (self.prompt_len, self.prompt_size, self.prompt_size, self.prompt_dim),
         )
-        # Under a spatial-sharding trace (parallel/spatial.py) `x` is an H
-        # stripe: the GAP becomes a pmean (equal stripes -> exact global
-        # mean); the tiny bank mix is computed replicated; the bilinear
-        # resize runs at GLOBAL row coordinates and this shard slices its
-        # own rows.
-        import jax
-
-        from promptir_tpu.parallel.spatial import current_spatial_axis
-
-        axis = current_spatial_axis()
-        emb = jnp.mean(x, axis=(1, 2))  # (B, lin_dim) global average pool
-        if axis is not None:
-            emb = jax.lax.pmean(emb, axis)
-        logits = Dense(
-            self.prompt_len, dtype=self.dtype, name="linear_layer"
-        )(emb)
-        weights = nn.softmax(logits.astype(jnp.float32), axis=-1)
-
-        # (B,L) x (L,S,S,C) -> (B,S,S,C)
-        prompt = jnp.einsum(
-            "bl,lhwc->bhwc", weights, bank.astype(jnp.float32)
-        ).astype(x.dtype)
-        if axis is not None:
-            n = jax.lax.axis_size(axis)
-            full = resize_bilinear(prompt, (h * n, w), self.align_corners)
-            start = jax.lax.axis_index(axis) * h
-            prompt = jax.lax.dynamic_slice_in_dim(full, start, h, axis=1)
-        else:
-            prompt = resize_bilinear(prompt, (h, w), self.align_corners)
+        weights = prompt_gap_weights(x, self.prompt_len, self.dtype)
+        prompt = mix_and_resize_prompt(
+            bank, weights, h, w, self.align_corners, x.dtype
+        )
         return Conv(
             self.prompt_dim,
             (3, 3),

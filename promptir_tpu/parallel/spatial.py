@@ -40,6 +40,8 @@ single-chip.
 
 from __future__ import annotations
 
+import math
+
 from contextlib import contextmanager
 from typing import Callable, Optional
 
@@ -141,6 +143,28 @@ def sharded_resize_bilinear(
     return slice_local_rows(yg, axis)
 
 
+def upscale_input(inp_img: jnp.ndarray, scale: int) -> jnp.ndarray:
+    """Bilinear x`scale` input upscaling (the X-Restormer SR entry,
+    align_corners=False — /root/reference/net/camixer_prompt_xrestormer_eff.py:747-748), exact
+    under a spatial-sharding trace: bilinear samples cross stripe seams,
+    so the (cheap, 3-channel) input is resized at GLOBAL coordinates and
+    re-sliced. No-op at scale 1."""
+    if scale <= 1:
+        return inp_img
+    from promptir_tpu.ops.resize import resize_bilinear
+
+    _, h, w, _ = inp_img.shape
+    axis = current_spatial_axis()
+    if axis is not None:
+        n = jax.lax.axis_size(axis)
+        return sharded_resize_bilinear(
+            inp_img, (h * n * scale, w * scale), axis
+        )
+    return resize_bilinear(
+        inp_img, (h * scale, w * scale), align_corners=False
+    )
+
+
 def global_mean_hw(x: jnp.ndarray, keepdims: bool = True) -> jnp.ndarray:
     """Mean over (H, W) of an NHWC tensor that stays GLOBAL under a
     spatial-sharding trace (equal stripes -> pmean of local means). The
@@ -196,3 +220,44 @@ def spatial_sharded_apply(
     xg = jax.device_put(x, NamedSharding(mesh, P(None, axis)))
     pg = jax.device_put(params, NamedSharding(mesh, P()))
     return fn(pg, xg)
+
+
+# --- pre-padding constraints per model family -------------------------
+# Full-image inference needs H and W padded so every U-Net level's grid
+# stays window-aligned (all families use 8x8 spatial windows) and, under
+# H-sharding, so every shard's stripe stays even through the downsamples.
+# With n = 1 these are also the single-chip demo pad bases (the
+# reference's pad-to-8, demo.py:17-24, only covers window-free PromptIR).
+_OCAB_FAMILIES = frozenset(
+    {"xrestormerir", "promptxrestormerir", "promptxrestormereffir"}
+)
+_CAMIXER_XR_FAMILIES = frozenset(
+    {"capromptxrestormereff", "capromptxrestormereffv2",
+     "catapromptxrestormer"}
+)
+_UFORMER_FAMILIES = frozenset({"promptuformerir", "capromptuformerir"})
+
+
+def pad_bases(model_name: str, n_shards: int = 1) -> tuple[int, int]:
+    """(base_h, base_w) to pre-pad an image for `model_name` before
+    full-image inference over `n_shards` H-stripes (1 = single chip).
+
+    * X-Restormer skeletons run 8x8 windows (OCAB or CAMixer) at all four
+      levels: both dims must be multiples of 8*2^3 = 64. Sharded OCAB
+      additionally windows each shard's stripe locally (ops/ocab.py), so
+      H must make the level-3 stripe H/(8n) window-aligned: H % 64n.
+      CAMixer routes globally via gather, so only stripe evenness (8n)
+      compounds with the global 64.
+    * Uformer skeletons have four downsamples (grids to H/16): 128, with
+      H additionally a multiple of 16n for even stripes.
+    * Window-free families (PromptIR, Easy, NAFNet) need only even
+      stripes through 3 downsamples: 8n, and the reference's 8 on W.
+    """
+    n = int(n_shards)
+    if model_name in _UFORMER_FAMILIES:
+        return math.lcm(128, 16 * n), 128
+    if model_name in _OCAB_FAMILIES:
+        return 64 * n, 64
+    if model_name in _CAMIXER_XR_FAMILIES:
+        return math.lcm(64, 8 * n), 64
+    return 8 * n, 8

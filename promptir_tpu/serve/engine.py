@@ -93,9 +93,11 @@ class InferenceEngine:
         tile_size: int = 128,
         tile_overlap: int = 32,
         tile_chunk: int = 8,
+        channels: int = 3,
     ):
         self._model_fn = model_fn
         self._params = params
+        self.channels = int(channels)
         self.pad_base = int(pad_base)
         self.max_batch = int(max_batch)
         self.batch_timeout_s = float(batch_timeout_ms) / 1e3
@@ -131,8 +133,13 @@ class InferenceEngine:
         if self._closed:
             raise RuntimeError("engine is closed")
         img = np.asarray(img_hwc, dtype=np.float32)
-        if img.ndim != 3:
-            raise ValueError(f"expected HWC image, got shape {img.shape}")
+        if img.ndim != 3 or img.shape[2] != self.channels:
+            # reject here, not in the worker: a wrong-channel image would
+            # otherwise land in a (H, W) bucket with valid co-batched
+            # requests and fail the whole group's futures
+            raise ValueError(
+                f"expected HW{self.channels} image, got shape {img.shape}"
+            )
         req = _Request(img)
         self._q.put(req)
         return req.future

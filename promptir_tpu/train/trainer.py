@@ -142,36 +142,53 @@ class Trainer:
             from promptir_tpu.train.preemption import PreemptionGuard
 
             guard = PreemptionGuard()
+        try:
+            self._fit_epochs(cfg, guard)
+        finally:
+            # always restore the previous SIGTERM/SIGINT handlers and
+            # close an in-flight trace, even when step_fn raises — an
+            # installed-but-orphaned handler would swallow Ctrl-C/SIGTERM
+            # for the rest of the process
+            if self._prof_started and not self._prof_stopped:
+                jax.profiler.stop_trace()
+                self._prof_stopped = True
+            if own_guard:
+                guard.restore()
+
+    def _fit_epochs(self, cfg, guard) -> None:
         # profiler window: steps [2, 7) of the first epoch land in an XLA
         # trace viewable in TensorBoard/Perfetto (the reference has no
         # profiling story at all, SURVEY.md §5)
         prof_dir = cfg.system.profile_dir
-        prof_started = prof_stopped = not prof_dir
+        self._prof_started = self._prof_stopped = not prof_dir
         for epoch in range(self.start_epoch, cfg.train.epochs):
             lr = self.schedule(epoch)
             self.state = set_learning_rate(self.state, lr)
             t0 = time.time()
             losses = []
             for batch in self.loader.epoch(epoch):
-                if not prof_started and self.global_step >= 2:
+                if not self._prof_started and self.global_step >= 2:
                     jax.profiler.start_trace(prof_dir)
-                    prof_started = True
+                    self._prof_started = True
                 self.state, metrics = self.step_fn(self.state, batch)
                 self.global_step += 1
-                if prof_started and not prof_stopped and self.global_step >= 7:
+                if (
+                    self._prof_started
+                    and not self._prof_stopped
+                    and self.global_step >= 7
+                ):
                     jax.tree.map(
                         lambda x: x.block_until_ready(), self.state.params
                     )
                     jax.profiler.stop_trace()
-                    prof_stopped = True
+                    self._prof_stopped = True
                     print(f"profiler trace written to {prof_dir}")
                 losses.append(metrics["train_loss"])
                 if guard.preempted():
-                    if prof_started and not prof_stopped:
+                    if self._prof_started and not self._prof_stopped:
                         jax.profiler.stop_trace()
+                        self._prof_stopped = True
                     self._save_preempted(epoch)
-                    if own_guard:
-                        guard.restore()
                     return
                 if self.global_step % 50 == 0:
                     self.logger.log(
@@ -184,10 +201,10 @@ class Trainer:
                     )
             dt = time.time() - t0
             epoch_loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
-            if prof_started and not prof_stopped:
+            if self._prof_started and not self._prof_stopped:
                 # run too short to reach the window's end: close it now
                 jax.profiler.stop_trace()
-                prof_stopped = True
+                self._prof_stopped = True
                 print(f"profiler trace written to {prof_dir}")
             imgs = len(self.loader) * self.global_batch
             print(
@@ -221,5 +238,3 @@ class Trainer:
                 self.logger.log(eval_metrics, self.global_step)
         self.ckpt.wait()
         self.logger.close()
-        if own_guard:
-            guard.restore()

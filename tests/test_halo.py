@@ -494,3 +494,42 @@ def test_spatial_sharded_forward_matches_unsharded():
         np.asarray(yp)[:, 8:-8], np.asarray(yp_ref)[:, 8:-8],
         rtol=1e-6, atol=1e-6,
     )
+
+
+def test_pad_bases_per_family():
+    """Demo pre-pad bases (parallel/spatial.py:pad_bases) must make every
+    U-Net level window-aligned and every shard stripe even — the
+    window-free reference pad-to-8 (demo.py:17-24) breaks OCAB/CAMixer/
+    Uformer families whose level grids reshape by 8x8 windows."""
+    from promptir_tpu.parallel.spatial import pad_bases
+
+    for n in (1, 2, 4, 8):
+        for name, levels, win_sharded in [
+            ("promptir", 3, False),
+            ("easypromptxrestormer", 3, False),
+            ("nafnet", 3, False),
+            ("xrestormerir", 3, True),
+            ("promptxrestormerir", 3, True),
+            ("promptxrestormereffir", 3, True),
+            ("capromptxrestormereff", 3, False),
+            ("catapromptxrestormer", 3, False),
+            ("promptuformerir", 4, False),
+            ("capromptuformerir", 4, False),
+        ]:
+            bh, bw = pad_bases(name, n)
+            # stripes stay even through every downsample level
+            assert bh % (2**levels * n) == 0, (name, n, bh)
+            windowed = win_sharded or name not in (
+                "promptir", "easypromptxrestormer", "nafnet"
+            )
+            if windowed:
+                # global grids stay 8x8-window-aligned at the deepest level
+                assert bh % (8 * 2**levels) == 0, (name, n, bh)
+                assert bw % (8 * 2**levels) == 0, (name, n, bw)
+            if win_sharded:
+                # sharded OCAB windows each stripe locally (ops/ocab.py
+                # asserts stripe_h % win == 0 at every level)
+                assert (bh // (2**levels * n)) % 8 == 0, (name, n, bh)
+    # n=1 bases are the single-chip demo pads; PromptIR keeps the
+    # reference's 8 exactly
+    assert pad_bases("promptir") == (8, 8)

@@ -154,6 +154,22 @@ def test_tp_gdfn_matches_module():
         np.asarray(y_tp), np.asarray(y_ref), rtol=2e-5, atol=2e-5
     )
 
+    # biased GDFN through the prepare-once/apply-many path: project_in /
+    # dwconv biases ride the gate-aware column split, the output bias is
+    # added once after the psum
+    from promptir_tpu.parallel.tp import prepare_tp_gdfn
+
+    mb = GDFN(48, 2.66, use_bias=True)
+    pb = mb.init(jax.random.PRNGKey(1), x)
+    pb = jax.tree.map(
+        lambda a: a + 0.05 if a.ndim == 1 else a, pb
+    )  # non-zero biases so a dropped bias would be caught
+    apply = prepare_tp_gdfn(pb["params"], mesh, axis="model")
+    np.testing.assert_allclose(
+        np.asarray(apply(x)), np.asarray(mb.apply(pb, x)),
+        rtol=2e-5, atol=2e-5,
+    )
+
 
 def test_tp_mdta_matches_module():
     """Head-parallel megatron TP of MDTA (parallel/tp.py): each chip owns
@@ -179,6 +195,19 @@ def test_tp_mdta_matches_module():
     y_tp = tp_mdta_apply(params["params"], x, 8, mesh, axis="model")
     np.testing.assert_allclose(
         np.asarray(y_tp), np.asarray(y_ref), rtol=2e-5, atol=2e-5
+    )
+
+    # biased MDTA through prepare-once/apply-many (qkv/dwconv biases take
+    # the head-slab split, the out-proj bias is added after the psum)
+    from promptir_tpu.parallel.tp import prepare_tp_mdta
+
+    mb = MDTA(48, num_heads=8, use_bias=True)
+    pb = mb.init(jax.random.PRNGKey(1), x)
+    pb = jax.tree.map(lambda a: a + 0.05 if a.ndim == 1 else a, pb)
+    apply = prepare_tp_mdta(pb["params"], 8, mesh, axis="model")
+    np.testing.assert_allclose(
+        np.asarray(apply(x)), np.asarray(mb.apply(pb, x)),
+        rtol=2e-5, atol=2e-5,
     )
 
 

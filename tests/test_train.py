@@ -93,6 +93,25 @@ def test_training_reduces_loss():
         assert losses[-1] < losses[0]
 
 
+def test_trainer_restores_signal_handlers_on_error(tiny_cfg):
+    """fit() installs a PreemptionGuard over SIGTERM/SIGINT; when step_fn
+    raises, the previous handlers must come back (try/finally) — an
+    orphaned handler would swallow Ctrl-C/SIGTERM for the whole process."""
+    import signal
+
+    ds = SyntheticTrainDataset(n=16, patch_size=32)
+    trainer = Trainer(tiny_cfg, ds, model=tiny_model())
+    before = signal.getsignal(signal.SIGTERM)
+
+    def boom(state, batch):
+        raise RuntimeError("injected step failure")
+
+    trainer.step_fn = boom
+    with pytest.raises(RuntimeError, match="injected step failure"):
+        trainer.fit()
+    assert signal.getsignal(signal.SIGTERM) is before
+
+
 def test_trainer_profile_trace(tiny_cfg, tmp_path):
     """--profile_dir writes a jax.profiler trace around steps 2-7."""
     prof = str(tmp_path / "prof")
