@@ -192,3 +192,21 @@ def test_cli_test_covers_variant_models(corpus, tmp_path, variant):
     assert set(r) == {"derain"}
     assert r["derain"]["n"] == 2 and np.isfinite(r["derain"]["psnr"])
     assert (tmp_path / variant / "derain" / "rain-0.png").exists()
+
+
+@pytest.mark.slow
+def test_cli_demo_ocab_family_non_aligned_size(tmp_path):
+    """demo.py on an OCAB family at a non-64-multiple size: the plain
+    path must pre-pad to the family's window-aligned base
+    (parallel/spatial.py:pad_bases) — the reference's pad-to-8
+    (demo.py:17-24) leaves deeper levels with non-window-divisible grids
+    and the OCAB window reshape crashes."""
+    from promptir_tpu.cli.demo import main
+
+    src = tmp_path / "in" / "scene.png"
+    _write_png(str(src), (88, 120), 7)  # crop-16 -> 80x112, not % 64
+    out = tmp_path / "demo_ocab"
+    main(["--model", "promptxrestormerir", "--test_path", str(src),
+          "--output_path", str(out), *TINY])
+    im = np.asarray(Image.open(out / "scene.png"))
+    assert im.shape == (80, 112, 3)
