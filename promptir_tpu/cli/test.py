@@ -51,11 +51,20 @@ def load_params(model, ckpt_name, sample_shape=(1, 64, 64, 3)):
 
         return load_params_npz(ckpt_name)
     from promptir_tpu.compat.torch_ckpt import (
+        check_params_match,
         convert_state_dict,
         load_torch_state_dict,
     )
 
-    return convert_state_dict(load_torch_state_dict(ckpt_name))["params"]
+    variables = convert_state_dict(load_torch_state_dict(ckpt_name))
+    # fail HERE with the missing/extra/mis-shaped tensor paths instead of
+    # a cryptic flax apply error later (wrong --model for the ckpt, a
+    # truncated file, a different depth config...)
+    init = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), jnp.zeros(sample_shape))
+    )
+    check_params_match(variables, init)
+    return variables["params"]
 
 
 def main(argv=None):

@@ -61,3 +61,26 @@ def test_check_params_match_readable_errors():
 
     # identical trees pass silently
     check_params_match(good, good)
+
+
+def test_cli_test_load_params_rejects_mismatched_ckpt(tmp_path):
+    """cli/test.py:load_params must fail at load time with the readable
+    missing/unexpected-path diff (check_params_match) when the torch ckpt
+    does not fit the --model config — not with a cryptic flax apply error
+    mid-eval."""
+    import pytest
+    import torch
+
+    from promptir_tpu.cli.test import load_params
+    from promptir_tpu.models import create_model
+
+    path = str(tmp_path / "bogus.ckpt")
+    torch.save({"state_dict": {"net.bogus.weight": torch.zeros(3, 3)}}, path)
+    model = create_model(
+        "promptir", num_blocks=(1, 1, 1, 1), num_refinement_blocks=1
+    )
+    with pytest.raises(ValueError) as ei:
+        load_params(model, path)
+    msg = str(ei.value)
+    assert "missing from checkpoint" in msg
+    assert "unexpected in checkpoint" in msg and "bogus" in msg
