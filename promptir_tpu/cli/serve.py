@@ -33,8 +33,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max_batch", type=int, default=8,
                    help="fixed device batch; short groups are zero-padded")
     p.add_argument("--batch_timeout_ms", type=float, default=5.0)
-    p.add_argument("--pad_base", type=int, default=8,
-                   help="pad inputs to multiples of this (8 = demo parity)")
+    p.add_argument("--pad_base", type=int, default=None,
+                   help="pad inputs to multiples of this; default = the "
+                        "model family's window-aligned base (8 for "
+                        "PromptIR = demo parity, 64 for OCAB/CAMixer "
+                        "X-Restormer, 128 for Uformer)")
     p.add_argument("--dtype", default="bfloat16",
                    choices=["float32", "bfloat16"])
     p.add_argument("--fused", action="store_true",
@@ -162,6 +165,12 @@ class _Handler(BaseHTTPRequestHandler):
 
 def make_server(args):
     """(httpd, engine) ready for serve_forever(); port 0 -> ephemeral."""
+    if args.pad_base is None:
+        from promptir_tpu.parallel.spatial import pad_bases
+
+        # windowed families (OCAB/CAMixer/Uformer) need every U-Net
+        # level's grid window-aligned; pad-to-8 only covers PromptIR
+        args.pad_base = pad_bases(args.model)[0]
     engine, info = build_engine(args)
     handler = type("Handler", (_Handler,), {"engine": engine, "info": info})
     httpd = ThreadingHTTPServer((args.host, args.port), handler)
