@@ -39,9 +39,13 @@ def main(argv=None):
         kw = {}
         if args.num_blocks is not None:
             kw["num_blocks"] = tuple(args.num_blocks)
+        from promptir_tpu.cli.test import validation_shape
+
         model = create_model(args.model, **kw)
         init = jax.eval_shape(
-            lambda: model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+            lambda: model.init(
+                jax.random.PRNGKey(0), jnp.zeros(validation_shape(args.model))
+            )
         )
         check_params_match(variables, init)
         print("all param paths and shapes match the model")

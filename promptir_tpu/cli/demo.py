@@ -102,7 +102,11 @@ def main(argv=None):
 
     enable_persistent_cache()
     model = create_model(args.model, **model_kwargs(args))
-    params = load_params(model, args.ckpt_name)
+    from promptir_tpu.cli.test import validation_shape
+
+    params = load_params(
+        model, args.ckpt_name, sample_shape=validation_shape(args.model)
+    )
 
     mesh = None
     if args.mesh:

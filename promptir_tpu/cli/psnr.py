@@ -44,9 +44,34 @@ def main(argv=None):
     if not restored_names:
         raise SystemExit(f"no images in {args.restored}")
 
+    # pair by filename stem when the sets line up; positional zip over two
+    # independently sorted listings silently truncates on a count mismatch
+    # and can mispair when names differ
+    def stem(n):
+        return n.rsplit(".", 1)[0]
+
+    gt_by_stem = {stem(n): n for n in gt_names}
+    if all(stem(n) in gt_by_stem for n in restored_names):
+        pairs = [(n, gt_by_stem[stem(n)]) for n in restored_names]
+    elif len(restored_names) != len(gt_names):
+        raise SystemExit(
+            f"cannot pair: {len(restored_names)} restored vs "
+            f"{len(gt_names)} GT images and stems don't match "
+            f"({args.restored} vs {args.gt})"
+        )
+    else:
+        import sys
+
+        print(
+            "warning: filenames differ between dirs; pairing by sorted "
+            "position (reference compute_baseline_psnr.py semantics)",
+            file=sys.stderr,
+        )
+        pairs = list(zip(restored_names, gt_names))
+
     psnr_m, ssim_m = AverageMeter(), AverageMeter()
     per_image = {}
-    for rn, gn in zip(restored_names, gt_names):
+    for rn, gn in pairs:
         restored = load_image_rgb(os.path.join(args.restored, rn))
         clean = load_image_rgb(os.path.join(args.gt, gn))
         h, w = restored.shape[:2]

@@ -54,6 +54,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tile_size", type=int, default=128)
     p.add_argument("--tile_overlap", type=int, default=32)
     p.add_argument("--tile_chunk", type=int, default=8)
+    p.add_argument("--max_queue", type=int, default=256,
+                   help="in-flight request bound; submits beyond it are "
+                        "rejected with HTTP 429 instead of queueing "
+                        "without bound")
+    p.add_argument("--request_timeout_s", type=float, default=None,
+                   help="fail (504) requests that wait longer than this "
+                        "before the device thread can take them")
     return p
 
 
@@ -73,7 +80,11 @@ def build_engine(args):
     if getattr(args, "dim", None) is not None:
         kw["dim"] = args.dim
     model = create_model(args.model, **kw)
-    params = load_params(model, args.ckpt_name)
+    from promptir_tpu.cli.test import validation_shape
+
+    params = load_params(
+        model, args.ckpt_name, sample_shape=validation_shape(args.model)
+    )
 
     @jax.jit
     def model_fn(p, x):
@@ -89,6 +100,8 @@ def build_engine(args):
         tile_size=args.tile_size,
         tile_overlap=args.tile_overlap,
         tile_chunk=args.tile_chunk,
+        max_queue=args.max_queue,
+        request_timeout_s=args.request_timeout_s,
     )
     info = {
         "model": args.model,
@@ -146,8 +159,23 @@ class _Handler(BaseHTTPRequestHandler):
         except Exception as e:
             self._json(400, {"error": f"cannot decode image: {e}"})
             return
+        from promptir_tpu.serve.engine import (
+            EngineClosed,
+            EngineOverloaded,
+            RequestTimeout,
+        )
+
         try:
             out = self.engine.restore(img)
+        except EngineOverloaded as e:
+            self._json(429, {"error": str(e)})
+            return
+        except RequestTimeout as e:
+            self._json(504, {"error": str(e)})
+            return
+        except EngineClosed as e:
+            self._json(503, {"error": str(e)})
+            return
         except Exception as e:
             self._json(500, {"error": str(e)})
             return

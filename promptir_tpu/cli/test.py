@@ -39,6 +39,17 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def validation_shape(model_name: str) -> tuple:
+    """Smallest input every family can forward: derived from the family's
+    window-aligned pad base (Uformer skeletons need 128-multiples, OCAB/
+    CAMixer X-Restormer 64, window-free families 8 — a hardcoded 64 crashes
+    the 4-downsample Uformer families in window_partition)."""
+    from promptir_tpu.parallel.spatial import pad_bases
+
+    base_h, base_w = pad_bases(model_name)
+    return (1, base_h, base_w, 3)
+
+
 def load_params(model, ckpt_name, sample_shape=(1, 64, 64, 3)):
     import jax
     import jax.numpy as jnp
@@ -60,9 +71,15 @@ def load_params(model, ckpt_name, sample_shape=(1, 64, 64, 3)):
     # fail HERE with the missing/extra/mis-shaped tensor paths instead of
     # a cryptic flax apply error later (wrong --model for the ckpt, a
     # truncated file, a different depth config...)
-    init = jax.eval_shape(
-        lambda: model.init(jax.random.PRNGKey(0), jnp.zeros(sample_shape))
-    )
+    try:
+        init = jax.eval_shape(
+            lambda: model.init(jax.random.PRNGKey(0), jnp.zeros(sample_shape))
+        )
+    except Exception:
+        # the shape-only init itself failed (caller passed a sample shape
+        # this family can't forward) — don't let the validation aid block
+        # a legitimate load; flax will still shape-check at apply time
+        return variables["params"]
     check_params_match(variables, init)
     return variables["params"]
 
@@ -85,7 +102,9 @@ def main(argv=None):
 
     enable_persistent_cache()
     model = create_model(args.model, **model_kwargs(args))
-    params = load_params(model, args.ckpt_name)
+    params = load_params(
+        model, args.ckpt_name, sample_shape=validation_shape(args.model)
+    )
 
     @jax.jit
     def model_fn(p, x):

@@ -36,6 +36,21 @@ import numpy as np
 from promptir_tpu.eval.padding import target_size
 
 
+class EngineOverloaded(RuntimeError):
+    """Raised by submit() when the bounded request queue is full — the
+    serving analogue of HTTP 429; callers should shed or retry with
+    backoff rather than queue without bound."""
+
+
+class EngineClosed(RuntimeError):
+    """Set on futures still queued when the engine shuts down."""
+
+
+class RequestTimeout(TimeoutError):
+    """Set on a future whose request exceeded request_timeout_s before
+    the device thread could run it."""
+
+
 def pad_image_np(img: np.ndarray, base: int) -> np.ndarray:
     """Reflect-pad HWC to multiples of `base` (host-side, zero-copy when
     already aligned). Falls back to edge padding when a dimension is too
@@ -94,6 +109,8 @@ class InferenceEngine:
         tile_overlap: int = 32,
         tile_chunk: int = 8,
         channels: int = 3,
+        max_queue: int = 256,
+        request_timeout_s: Optional[float] = None,
     ):
         self._model_fn = model_fn
         self._params = params
@@ -106,14 +123,19 @@ class InferenceEngine:
         self.tile_size = tile_size
         self.tile_overlap = tile_overlap
         self.tile_chunk = tile_chunk
+        self.max_queue = int(max_queue)
+        self.request_timeout_s = request_timeout_s
 
         self._q: "queue.Queue[Optional[_Request]]" = queue.Queue()
         self._pending: "collections.deque[_Request]" = collections.deque()
         self._lock = threading.Lock()
+        self._inflight = 0  # submitted but not yet resolved (queue+pending+running)
         self._stats: Dict[str, float] = {
             "requests": 0,
             "batches": 0,
             "tiled_requests": 0,
+            "rejected": 0,
+            "timed_out": 0,
             "batch_fill_sum": 0.0,
             "latency_sum_s": 0.0,
             "latency_max_s": 0.0,
@@ -129,9 +151,11 @@ class InferenceEngine:
 
     def submit(self, img_hwc: np.ndarray) -> Future:
         """Enqueue one HWC float [0,1] image; resolves to the restored
-        HWC float array of the SAME spatial size."""
-        if self._closed:
-            raise RuntimeError("engine is closed")
+        HWC float array of the SAME spatial size.
+
+        Raises ``EngineClosed`` after close(), ``EngineOverloaded`` when
+        more than ``max_queue`` requests are already in flight (submit is
+        load-shedding, not blocking)."""
         img = np.asarray(img_hwc, dtype=np.float32)
         if img.ndim != 3 or img.shape[2] != self.channels:
             # reject here, not in the worker: a wrong-channel image would
@@ -141,7 +165,20 @@ class InferenceEngine:
                 f"expected HW{self.channels} image, got shape {img.shape}"
             )
         req = _Request(img)
-        self._q.put(req)
+        # the closed-check and the put happen under the same lock close()
+        # takes before enqueueing the sentinel, so no request can land
+        # BEHIND the sentinel and starve its caller forever
+        with self._lock:
+            if self._closed:
+                raise EngineClosed("engine is closed")
+            if self._inflight >= self.max_queue:
+                self._stats["rejected"] += 1
+                raise EngineOverloaded(
+                    f"{self._inflight} requests in flight (max_queue="
+                    f"{self.max_queue}); retry with backoff"
+                )
+            self._inflight += 1
+            self._q.put(req)
         return req.future
 
     def restore(self, img_hwc: np.ndarray) -> np.ndarray:
@@ -160,19 +197,61 @@ class InferenceEngine:
             "requests": int(s["requests"]),
             "batches": int(s["batches"]),
             "tiled_requests": int(s["tiled_requests"]),
+            "rejected": int(s["rejected"]),
+            "timed_out": int(s["timed_out"]),
             "mean_batch_fill": s["batch_fill_sum"] / b,
             "mean_latency_s": s["latency_sum_s"] / n,
             "max_latency_s": s["latency_max_s"],
             "compiled_shapes": len(self._shapes_seen),
             "queue_depth": self._q.qsize() + len(self._pending),
+            "inflight": self._inflight_snapshot(),
         }
 
-    def close(self) -> None:
-        if self._closed:
+    def _inflight_snapshot(self) -> int:
+        with self._lock:
+            return self._inflight
+
+    def close(self, join_timeout_s: float = 60.0) -> None:
+        with self._lock:
+            if self._closed:
+                already = True
+            else:
+                already = False
+                self._closed = True
+                self._q.put(None)
+        if already:
+            self._worker.join(timeout=join_timeout_s)
             return
-        self._closed = True
-        self._q.put(None)
-        self._worker.join(timeout=60)
+        self._worker.join(timeout=join_timeout_s)
+        if self._worker.is_alive():
+            # the worker is wedged mid-forward (device hang); requests it
+            # holds can't be recovered, but don't leave callers of queued
+            # requests blocking forever either
+            pass
+        # fail anything the worker never reached — the worker drains on a
+        # clean exit, this catches the join-timeout path
+        self._drain_failed(EngineClosed("engine closed before request ran"))
+
+    def _drain_failed(self, exc: Exception) -> None:
+        """Resolve every still-queued/parked request with `exc`."""
+        leftovers = list(self._pending)
+        self._pending.clear()
+        while True:
+            try:
+                r = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if r is not None:
+                leftovers.append(r)
+        for r in leftovers:
+            self._resolve_exc(r, exc)
+
+    def _resolve_exc(self, req: _Request, exc: Exception) -> None:
+        with self._lock:
+            self._inflight -= 1
+        if not req.future.set_running_or_notify_cancel():
+            return
+        req.future.set_exception(exc)
 
     def __enter__(self):
         return self
@@ -192,15 +271,38 @@ class InferenceEngine:
         th, tw = self._bucket(req)
         return th * tw > self.tile_threshold_px
 
+    def _expire(self, req: _Request) -> bool:
+        """True (and the future is failed) if the request waited longer
+        than request_timeout_s before the device could take it."""
+        if self.request_timeout_s is None:
+            return False
+        waited = time.perf_counter() - req.t_submit
+        if waited <= self.request_timeout_s:
+            return False
+        with self._lock:
+            self._stats["timed_out"] += 1
+        self._resolve_exc(
+            req,
+            RequestTimeout(
+                f"request queued {waited:.2f}s > "
+                f"request_timeout_s={self.request_timeout_s}"
+            ),
+        )
+        return True
+
     def _collect_group(self) -> Optional[list]:
         """Block for the oldest request, then gather up to max_batch
         requests sharing its padded bucket within the timeout."""
-        if self._pending:
-            head = self._pending.popleft()
-        else:
-            head = self._q.get()
-            if head is None:
-                return None
+        head = None
+        while head is None:
+            if self._pending:
+                head = self._pending.popleft()
+            else:
+                head = self._q.get()
+                if head is None:
+                    return None
+            if self._expire(head):
+                head = None
         if self._is_tiled(head):
             return [head]  # oversized images run alone via the tiler
         key = self._bucket(head)
@@ -211,6 +313,9 @@ class InferenceEngine:
         for r in list(self._pending):
             if len(group) >= self.max_batch:
                 break
+            if self._expire(r):
+                self._pending.remove(r)
+                continue
             if not self._is_tiled(r) and self._bucket(r) == key:
                 self._pending.remove(r)
                 group.append(r)
@@ -225,6 +330,8 @@ class InferenceEngine:
             if r is None:
                 self._q.put(None)  # re-post sentinel for shutdown
                 break
+            if self._expire(r):
+                continue
             if not self._is_tiled(r) and self._bucket(r) == key:
                 group.append(r)
             else:
@@ -238,6 +345,11 @@ class InferenceEngine:
         while True:
             group = self._collect_group()
             if group is None:
+                # clean shutdown: fail anything still queued or parked so
+                # no caller blocks forever on an abandoned future
+                self._drain_failed(
+                    EngineClosed("engine closed before request ran")
+                )
                 break
             tiled = self._is_tiled(group[0])
             try:
@@ -268,7 +380,7 @@ class InferenceEngine:
                     y = np.asarray(y, dtype=np.float32)
             except Exception as e:  # surface compile/run errors to callers
                 for r in group:
-                    r.future.set_exception(e)
+                    self._resolve_exc(r, e)
                 continue
             now = time.perf_counter()
             with self._lock:
@@ -290,4 +402,6 @@ class InferenceEngine:
                     )
             for i, r in enumerate(group):
                 h, w = r.shape[:2]
+                with self._lock:
+                    self._inflight -= 1
                 r.future.set_result(y[i, :h, :w, :])

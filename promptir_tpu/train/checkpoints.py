@@ -32,10 +32,35 @@ class CheckpointManager:
     def save(self, epoch: int, state: Any, overwrite: bool = False) -> None:
         """`overwrite=True` replaces an existing epoch — needed when a
         preempted epoch is replayed after resume (Orbax otherwise raises
-        StepAlreadyExistsError; it has no in-place overwrite)."""
+        StepAlreadyExistsError; it has no in-place overwrite).
+
+        The old checkpoint is renamed aside (not deleted) until the
+        replacement has fully committed, so a crash or second preemption
+        mid-replace never leaves the step without any checkpoint — the
+        aside copy is restored on failure."""
         if overwrite and epoch in (self._mgr.all_steps() or ()):
             self._mgr.wait_until_finished()
-            self._mgr.delete(epoch)
+            step_dir = os.path.join(self.directory, str(epoch))
+            backup = step_dir + ".replacing"
+            if os.path.isdir(step_dir):
+                import shutil
+
+                if os.path.isdir(backup):  # stale aside from an old crash
+                    shutil.rmtree(backup)
+                os.rename(step_dir, backup)
+                self._mgr.reload()
+                try:
+                    self._mgr.save(epoch, args=ocp.args.StandardSave(state))
+                    self._mgr.wait_until_finished()
+                except Exception:
+                    if os.path.isdir(step_dir):
+                        shutil.rmtree(step_dir)
+                    os.rename(backup, step_dir)
+                    self._mgr.reload()
+                    raise
+                shutil.rmtree(backup)
+                return
+            self._mgr.delete(epoch)  # registry entry with no dir on disk
         self._mgr.save(epoch, args=ocp.args.StandardSave(state))
 
     def restore(self, state_template: Any, epoch: Optional[int] = None) -> Any:

@@ -125,6 +125,93 @@ def test_engine_surfaces_model_errors(tiny):
         eng.submit(make_img(1))
 
 
+def _gated_identity():
+    """A model_fn the test can hold: blocks on `gate`, sets `started`
+    when the device thread enters it. Returns (fn, started, gate)."""
+    started = threading.Event()
+    gate = threading.Event()
+
+    def fn(p, x):
+        started.set()
+        gate.wait(timeout=30)
+        return x
+
+    return fn, started, gate
+
+
+def test_engine_rejects_when_overloaded(tiny):
+    """Bounded in-flight queue: submits past max_queue shed load with
+    EngineOverloaded (429 analogue) instead of growing memory forever."""
+    from promptir_tpu.serve.engine import EngineOverloaded
+
+    _, params = tiny
+    fn, started, gate = _gated_identity()
+    with InferenceEngine(
+        fn, params, pad_base=8, max_batch=1, batch_timeout_ms=0.0,
+        max_queue=2,
+    ) as eng:
+        f1 = eng.submit(make_img(0))   # taken by worker, blocks in fn
+        assert started.wait(timeout=10)
+        f2 = eng.submit(make_img(1))   # queued: inflight = 2 = max_queue
+        with pytest.raises(EngineOverloaded):
+            eng.submit(make_img(2))
+        gate.set()
+        assert f1.result(timeout=10).shape == make_img(0).shape
+        assert f2.result(timeout=10).shape == make_img(1).shape
+        s = eng.stats()
+    assert s["rejected"] == 1 and s["requests"] == 2
+    assert s["inflight"] == 0
+
+
+def test_engine_request_timeout(tiny):
+    """A request that waits longer than request_timeout_s before the
+    device thread can take it resolves with RequestTimeout, not a hang."""
+    from promptir_tpu.serve.engine import RequestTimeout
+
+    _, params = tiny
+    fn, started, gate = _gated_identity()
+    with InferenceEngine(
+        fn, params, pad_base=8, max_batch=1, batch_timeout_ms=0.0,
+        request_timeout_s=0.05,
+    ) as eng:
+        f1 = eng.submit(make_img(0))   # occupies the device thread
+        assert started.wait(timeout=10)
+        f2 = eng.submit(make_img(1))   # will age past the deadline
+        import time
+
+        time.sleep(0.15)
+        gate.set()
+        assert f1.result(timeout=10).shape == make_img(0).shape
+        with pytest.raises(RequestTimeout):
+            f2.result(timeout=10)
+        s = eng.stats()
+    assert s["timed_out"] == 1 and s["inflight"] == 0
+
+
+def test_engine_close_fails_queued_requests(tiny):
+    """close() must not abandon queued requests: callers blocked on their
+    futures get EngineClosed instead of waiting forever (submit/close
+    race and worker-leak hardening)."""
+    from promptir_tpu.serve.engine import EngineClosed
+
+    _, params = tiny
+    fn, started, gate = _gated_identity()
+    eng = InferenceEngine(
+        fn, params, pad_base=8, max_batch=1, batch_timeout_ms=0.0
+    )
+    f1 = eng.submit(make_img(0))       # worker blocks in fn
+    assert started.wait(timeout=10)
+    f2 = eng.submit(make_img(1))       # still queued
+    eng.close(join_timeout_s=0.2)      # worker is wedged; drain anyway
+    with pytest.raises(EngineClosed):
+        f2.result(timeout=10)
+    with pytest.raises(EngineClosed):
+        eng.submit(make_img(2))
+    gate.set()                         # release the wedged forward
+    assert f1.result(timeout=10).shape == make_img(0).shape
+    eng.close()                        # idempotent; joins the worker
+
+
 def test_http_server_restore_and_health(tiny, monkeypatch):
     from promptir_tpu.cli import serve as serve_cli
 
