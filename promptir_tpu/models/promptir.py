@@ -134,15 +134,24 @@ class PromptIR(nn.Module):
         )
 
         # --- encoder ---
+        enc1_padded = None
         if chain1:
-            x = apply_block_stack(
+            # keep enc1 in the padded layout: down1_2's folded conv and
+            # the decoder concat both consume it without the exit slice
+            x, enc1_padded = apply_block_stack(
                 self._stack("encoder_level1", nb[0], d, hs[0]), x,
                 fused=True, expansion=self.expansion, in_padded=(iw, d),
+                out_padded=True,
             )
         else:
             x = self._run("encoder_level1", nb[0], d, hs[0], x)
         enc1 = x
-        x = Downsample(d, self.dtype, name="down1_2")(x)
+        if enc1_padded is not None:
+            x = Downsample(d, self.dtype, name="down1_2")(
+                x, padded_shape=enc1_padded
+            )
+        else:
+            x = Downsample(d, self.dtype, name="down1_2")(x)
         x = self._run("encoder_level2", nb[1], 2 * d, hs[1], x)
         enc2 = x
         x = Downsample(2 * d, self.dtype, name="down2_3")(x)
@@ -221,6 +230,9 @@ class PromptIR(nn.Module):
         # ~6.6 ms at 512^2 batch 16) and hand the padded exit straight to
         # the output head.
         x = Upsample(2 * d, self.dtype, name="up2_1")(x)
+        if enc1_padded is not None:
+            w1, c1 = enc1_padded
+            enc1 = enc1[:, :, 1 : 1 + w1, :c1]  # fuses into the entry pad
         x = jnp.concatenate([x, enc1], axis=-1)
         x, padded = apply_block_stack(
             self._stack("decoder_level1", nb[0], 2 * d, hs[0])

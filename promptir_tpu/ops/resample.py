@@ -210,11 +210,32 @@ class Downsample(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, padded_shape=None) -> jnp.ndarray:
         from promptir_tpu.parallel.spatial import current_spatial_axis
 
         half = self.n_feat // 2
         lanes = lambda n: -(-n // 128) * 128  # noqa: E731
+        if padded_shape is not None:
+            # x is in the fused kernels' pad_nhwc layout (B,H,wp,cp): one
+            # zero column left, zero columns right, zero-padded lanes. The
+            # folded stride-2 conv consumes it DIRECTLY: the zero borders
+            # double as the conv's width padding (window for output j'
+            # covers padded cols 2j'..2j'+3 = logical 2j'-1..2j'+2) and
+            # zero input lanes meet zero kernel rows — the full-width exit
+            # slice (~3.3 ms at 512^2 x 128 lanes) is replaced by a crop
+            # of the 4x-smaller output.
+            assert current_spatial_axis() is None
+            w_real, c_real = padded_shape
+            w = _Kernel((3, 3, c_real, half), name="body_0")()
+            k = fold_unshuffle_kernel(w)
+            k = jnp.pad(k, ((0, 0), (0, 0), (0, x.shape[-1] - c_real),
+                            (0, 0))).astype(self.dtype)
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), k,
+                window_strides=(2, 2), padding=((1, 1), (0, 0)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            return y[:, :, : w_real // 2, :]
         # effective MXU cost per logical MAC: taps * lane-padding waste.
         # Under a spatial-sharding trace the direct path is used: its 3x3
         # conv gets the halo exchange from the Conv hook and the
@@ -241,15 +262,50 @@ class Downsample(nn.Module):
 
 
 class Upsample(nn.Module):
-    """3x3 conv C -> 2C then 2x pixel-shuffle (net: C/2 channels at 2H)."""
+    """3x3 conv C -> 2C then 2x pixel-shuffle (net: C/2 channels at 2H).
+
+    The torch-order shuffle transposes (b,h,w,c,i,j)->(b,h,i,w,j,c), moving
+    the channel dim from minor to major — XLA emits it as a scattered-lane
+    copy (3.1 ms at 16x256^2x192 -> 512^2x48, trace op copy.457). When
+    enabled, the ij-major form permutes the conv KERNEL's output channels
+    to (i, j, c) order instead, so the shuffle's transpose only swaps w<->i
+    while the minor (j, c) block stays contiguous — identical math and
+    checkpoint layout (the permutation is applied to the weight at trace
+    time, a (3,3,C,2C) gather XLA folds away)."""
 
     n_feat: int
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        import os
+
+        f = self.n_feat * 2
+        if (
+            os.environ.get("PROMPTIR_SHUFFLE_IJ", "1") != "0"
+            and f % 4 == 0
+        ):
+            from promptir_tpu.parallel.spatial import current_spatial_axis
+
+            if current_spatial_axis() is None:
+                w = _Kernel((3, 3, x.shape[-1], f), name="body_0")()
+                c = f // 4
+                # torch lane order is c*4 + i*2 + j; ij-major wants
+                # (i*2 + j)*c + c_idx
+                idx = jnp.arange(f)
+                perm = (idx % 4) * c + idx // 4  # dest position of lane idx
+                w_ij = jnp.zeros_like(w).at[..., perm].set(w)
+                y = jax.lax.conv_general_dilated(
+                    x.astype(self.dtype), w_ij.astype(self.dtype),
+                    window_strides=(1, 1), padding=((1, 1), (1, 1)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
+                b, h, wdt, _ = y.shape
+                y = y.reshape(b, h, wdt, 2, 2, c)
+                y = y.transpose(0, 1, 3, 2, 4, 5)  # (b,h,i,w,j,c)
+                return y.reshape(b, 2 * h, 2 * wdt, c)
         x = Conv(
-            self.n_feat * 2,
+            f,
             (3, 3),
             padding=((1, 1), (1, 1)),
             use_bias=False,

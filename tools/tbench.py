@@ -48,6 +48,8 @@ def main():
     p.add_argument("--remat", action="store_true")
     p.add_argument("--remat_levels", type=int, nargs="*", default=None,
                    help="restrict remat to these U-Net levels (1..4)")
+    p.add_argument("--grad_accum", type=int, default=1,
+                   help="microbatch count (lax.scan accumulation)")
     p.add_argument("--inner", type=int, default=8)
     p.add_argument("--reps", type=int, default=3)
     p.add_argument("--blocks", type=int, nargs=4, default=None,
@@ -80,7 +82,7 @@ def main():
             jnp.zeros((1, args.size, args.size, 3)),
         )
     )()
-    step = make_train_step(model)
+    step = make_train_step(model, grad_accum=args.grad_accum)
     del mesh  # single-chip bench; jit_train_step(step, mesh) for real runs
 
     rng = np.random.default_rng(0)
