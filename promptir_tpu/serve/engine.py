@@ -236,13 +236,22 @@ class InferenceEngine:
         """Resolve every still-queued/parked request with `exc`."""
         leftovers = list(self._pending)
         self._pending.clear()
+        saw_sentinel = False
         while True:
             try:
                 r = self._q.get_nowait()
             except queue.Empty:
                 break
-            if r is not None:
+            if r is None:
+                saw_sentinel = True
+            else:
                 leftovers.append(r)
+        if saw_sentinel:
+            # keep the shutdown sentinel in the queue: a worker wedged in
+            # a forward still needs it to exit once it unblocks (without
+            # it, the worker parks in q.get() forever and every later
+            # close() burns its full join timeout)
+            self._q.put(None)
         for r in leftovers:
             self._resolve_exc(r, exc)
 

@@ -9,6 +9,7 @@ import numpy as np
 from promptir_tpu.models import create_model
 from promptir_tpu.train.state import create_train_state, make_optimizer
 from promptir_tpu.train.step import make_train_step
+import pytest
 
 
 def make_batch(n=2, s=64):
@@ -20,6 +21,7 @@ def make_batch(n=2, s=64):
     }
 
 
+@pytest.mark.slow
 def test_ca_v2_train_step():
     model = create_model(
         "capromptxrestormereffv2", dim=48, num_blocks=(1, 1, 1, 1),
@@ -37,6 +39,7 @@ def test_ca_v2_train_step():
     assert float(m2["grad_norm"]) > 0  # gradients flow through routing
 
 
+@pytest.mark.slow
 def test_stochastic_grad_accum_rng_folding():
     """Scan-accumulated microbatches through the stochastic step fold one
     'gumbel' rng per (step, microbatch): key = fold_in(PRNGKey(seed),

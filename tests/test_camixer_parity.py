@@ -18,6 +18,7 @@ from promptir_tpu.models.camixer_models import (
 )
 from promptir_tpu.ops.camixer import CAMixerV1, CAMixerV2, topk_window_mask
 from promptir_tpu.ops.flow_warp import flow_warp
+import pytest
 
 TOL = dict(rtol=5e-5, atol=5e-5)
 
@@ -68,6 +69,7 @@ def test_topk_window_mask():
     np.testing.assert_array_equal(np.asarray(topk_window_mask(scores, 4)), 1)
 
 
+@pytest.mark.slow
 def test_camixer_v1(golden):
     run(CAMixerV1(dim=48, window_size=8, ratio=1.0), golden("camixer_v1"))
 
@@ -104,6 +106,7 @@ def test_cata_block(golden):
     )
 
 
+@pytest.mark.slow
 def test_ca_v2_small_full_model(golden):
     g = golden("ca_v2_small")
     model = create_model(
@@ -119,6 +122,7 @@ def test_ca_v2_small_full_model(golden):
     np.testing.assert_allclose(np.asarray(y), g.y_nhwc, rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_ca_v2_training_returns_ratio_loss():
     model = create_model(
         "capromptxrestormereffv2", dim=48, num_blocks=(1, 1, 1, 1),
@@ -136,6 +140,7 @@ def test_ca_v2_training_returns_ratio_loss():
     assert np.isfinite(float(ratio_loss))
 
 
+@pytest.mark.slow
 def test_cata_training_returns_both_losses():
     model = create_model(
         "catapromptxrestormer", dim=48, num_blocks=(1, 1, 1, 1),
@@ -153,6 +158,7 @@ def test_cata_training_returns_both_losses():
     assert np.isfinite(float(ratio_loss)) and np.isfinite(float(hard_loss))
 
 
+@pytest.mark.slow
 def test_ca_v1_eval_builds():
     model = create_model(
         "capromptxrestormereff", dim=48, num_blocks=(1, 1, 1, 1),
@@ -164,6 +170,7 @@ def test_ca_v1_eval_builds():
     assert y.shape == (1, 64, 64, 3)
 
 
+@pytest.mark.slow
 def test_ca_prompt_uformer_builds_and_runs():
     """The reference camixer_prompt_uformer forward is unrunnable as
     committed (token/conv shape bugs); this validates our working
@@ -181,6 +188,7 @@ def test_ca_prompt_uformer_builds_and_runs():
     )
     assert out.shape == (1, 128, 128, 3) and np.isfinite(float(dec))
 
+@pytest.mark.slow
 def test_ca_v1_small_full_model(golden):
     """Full-model oracle for CAPromptXRestormerEff (v1): the reference's
     eval forward (camixer_prompt_xrestormer_eff.py:855-935) IS runnable at

@@ -1,9 +1,11 @@
 """End-to-end checkpoint conversion: torch .ckpt -> npz -> model forward."""
 
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
 
+@pytest.mark.slow
 def test_convert_cli_roundtrip(golden, tmp_path):
     import torch
 

@@ -1,4 +1,5 @@
 """Parity tests for Easy/NAF blocks, EasyPromptXRestormer, and NAFNet."""
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -39,6 +40,7 @@ def test_nafblock(golden):
     run(NAFBlock(32), golden("nafblock"))
 
 
+@pytest.mark.slow
 def test_easy_prompt_xrestormer_small(golden):
     g = golden("easy_prompt_xrestormer_small")
     model = create_model(
@@ -98,6 +100,7 @@ def test_local_avg_pool_semantics():
     )
 
 
+@pytest.mark.slow
 def test_nafnetlocal_matches_nafnet_weights(golden):
     """NAFNetLocal shares NAFNet's parameter tree; with a TLC kernel covering
     every feature map it reproduces NAFNet exactly, and with the real local

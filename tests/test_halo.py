@@ -193,6 +193,7 @@ def test_sharding_guards_fail_loudly():
         fn(p, x)
 
 
+@pytest.mark.slow
 def test_spatial_sharded_tlc_pool_exact():
     """The TLC local pool (NAFNetLocal) has ~half-image windows — no
     local halo plan; the exact gather fallback must match unsharded."""

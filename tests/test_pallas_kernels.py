@@ -1,4 +1,13 @@
-"""Pallas kernel correctness (interpret mode on the CPU mesh)."""
+"""Pallas kernel correctness (interpret mode on the CPU mesh).
+
+Every test compiles kernels in interpret mode (minutes each on this
+1-core host), so the whole module is marked slow; the fast path
+covers the same math through the models' golden parity suites.
+"""
+
+import pytest
+
+pytestmark = pytest.mark.slow
 
 import jax
 import jax.numpy as jnp

@@ -41,6 +41,7 @@ def test_devices_available():
     assert len(jax.devices()) == 8
 
 
+@pytest.mark.slow
 def test_dp_step_matches_single_device():
     model = tiny_model()
     batch = make_batch(8)
@@ -75,6 +76,7 @@ def test_dp_step_matches_single_device():
     np.testing.assert_allclose(np.asarray(l1), np.asarray(l8), rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_set_learning_rate_no_recompile():
     model = tiny_model()
     state = create_train_state(
@@ -101,6 +103,7 @@ def test_set_learning_rate_no_recompile():
     assert float(hp.hyperparams["learning_rate"]) == pytest.approx(1e-4)
 
 
+@pytest.mark.slow
 def test_sharded_tiled_inference_matches_single():
     """Tile-batch data parallelism over the mesh reproduces the single-chip
     tiled result on one oversized image."""
@@ -129,6 +132,7 @@ def test_sharded_tiled_inference_matches_single():
     )
 
 
+@pytest.mark.slow
 def test_tp_gdfn_matches_module():
     """Gate-aware megatron TP of the GDFN matmul pair (parallel/tp.py):
     column-parallel W1 (same slice of both gate halves per chip, local
@@ -171,6 +175,7 @@ def test_tp_gdfn_matches_module():
     )
 
 
+@pytest.mark.slow
 def test_tp_mdta_matches_module():
     """Head-parallel megatron TP of MDTA (parallel/tp.py): each chip owns
     a head slab of the qkv columns, computes its L2 norms / channel Gram /
@@ -211,6 +216,7 @@ def test_tp_mdta_matches_module():
     )
 
 
+@pytest.mark.slow
 def test_grad_accum_matches_full_batch():
     """grad_accum=4 (scan-accumulated microbatches, one optimizer update)
     must produce the same update as the full-batch step: equal microbatch

@@ -17,6 +17,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from promptir_tpu.models import create_model
 from promptir_tpu.serve.engine import InferenceEngine, pad_image_np
 

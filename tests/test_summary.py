@@ -8,6 +8,7 @@ CLI end to end.
 """
 
 import flax.linen as nn
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -38,6 +39,7 @@ def test_model_cost_flops_closed_form():
     assert c["flops"] == 2 * macs + bias_adds
 
 
+@pytest.mark.slow
 def test_summary_cli_tiny_promptir(capsys):
     from promptir_tpu.cli.summary import main
 

@@ -32,6 +32,7 @@ def tiny_model():
     )
 
 
+@pytest.mark.slow
 def test_trainer_fit_and_resume(tiny_cfg):
     ds = SyntheticTrainDataset(n=16, patch_size=32)
     trainer = Trainer(tiny_cfg, ds, model=tiny_model())
@@ -70,6 +71,7 @@ def test_warmup_cosine_reference_values():
     assert lr((150 + 15) // 2) == pytest.approx(1e-4, rel=0.05)
 
 
+@pytest.mark.slow
 def test_training_reduces_loss():
     ds = SyntheticTrainDataset(n=8, patch_size=32)
     cfg = Config()
@@ -112,6 +114,7 @@ def test_trainer_restores_signal_handlers_on_error(tiny_cfg):
     assert signal.getsignal(signal.SIGTERM) is before
 
 
+@pytest.mark.slow
 def test_trainer_profile_trace(tiny_cfg, tmp_path):
     """--profile_dir writes a jax.profiler trace around steps 2-7."""
     prof = str(tmp_path / "prof")
@@ -150,6 +153,7 @@ def test_gan_loss_matches_torch():
         gan_loss(jnp.zeros((2, 2)), True, "wgan")
 
 
+@pytest.mark.slow
 def test_remat_value_preserving_full_and_selective():
     """nn.remat trades memory for recompute without changing values:
     forward and grads match the plain model exactly for remat=True and
@@ -201,6 +205,7 @@ def test_preemption_guard_latches_sigterm():
     assert signal.getsignal(signal.SIGTERM) is not guard._on_signal
 
 
+@pytest.mark.slow
 def test_trainer_preemption_checkpoint_and_resume(tiny_cfg):
     """Preemption-safe training (the reference has no preemption handling,
     SURVEY.md §5): a preemption request mid-epoch checkpoints and returns
@@ -248,6 +253,7 @@ def test_trainer_preemption_checkpoint_and_resume(tiny_cfg):
     assert t2.ckpt.latest_epoch() == 1
 
 
+@pytest.mark.slow
 def test_trainer_epoch_end_eval_hook(tiny_cfg, tmp_path):
     """Epoch-end eval (reference EvaluationCallback, train.py:134-172):
     BSD68 sigma-15 + Rain100L metrics land in metrics.jsonl every epoch."""

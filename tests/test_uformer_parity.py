@@ -3,6 +3,7 @@
 Reference blocks operate on (B, L, C) square token grids; our NHWC modules
 see the same data as (B, s, s, C) with s = sqrt(L).
 """
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -85,6 +86,7 @@ def test_uformer_upsample(golden):
     run_tokens(UformerUpsample(16), golden("uformer_upsample"))
 
 
+@pytest.mark.slow
 def test_uformer_small_full_model(golden):
     g = golden("uformer_small")
     model = create_model(

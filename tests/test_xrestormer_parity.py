@@ -9,6 +9,7 @@ from promptir_tpu.models import create_model
 from promptir_tpu.models.prompt_xrestormer import PromptXBlock
 from promptir_tpu.models.xrestormer import XTransformerBlock
 from promptir_tpu.ops.ocab import OCAB, extract_overlapping_windows
+import pytest
 
 
 def run(module, g, rtol=3e-5, atol=3e-5):
@@ -59,6 +60,7 @@ def test_prompt_xblock(golden):
     )
 
 
+@pytest.mark.slow
 def test_xrestormer_small(golden):
     g = golden("xrestormer_small")
     model = create_model(
@@ -72,6 +74,7 @@ def test_xrestormer_small(golden):
     run(model, g, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_prompt_xrestormer_small(golden):
     g = golden("prompt_xrestormer_small")
     model = create_model(
@@ -101,6 +104,7 @@ def test_prompt_xrestormer_eff_small(golden):
     run(model, g, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_xblock_fused_matches_unfused():
     """fused_ffn XTransformerBlock: same params, same output (interpret)."""
     import functools
