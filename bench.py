@@ -73,13 +73,21 @@ def main():
     enable_persistent_cache()
 
     model = create_model("promptir", dtype=jnp.bfloat16, fused_ffn=True)
-    # init through the unfused twin (identical param tree) under one jit:
-    # eager init would dispatch hundreds of individual ops through the
-    # relay, and the fused kernels would add Pallas compiles at init shape
+    # Params via eval_shape + host RNG + one device_put per leaf: ZERO
+    # remote compiles before the forward (a jitted on-device init was one
+    # more multi-minute relay compile in front of the primary line; the
+    # weights' values don't affect throughput, only their shapes/dtypes do)
     init_model = create_model("promptir", dtype=jnp.bfloat16, fused_ffn=False)
-    params = jax.jit(init_model.init)(
-        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3))
+    shapes = jax.eval_shape(
+        lambda: init_model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
     )["params"]
+    host_rng = np.random.default_rng(0)
+    params = jax.tree.map(
+        lambda s: jax.device_put(
+            (0.02 * host_rng.standard_normal(s.shape)).astype(s.dtype)
+        ),
+        shapes,
+    )
 
     @jax.jit
     def fn(p, x):
