@@ -152,12 +152,40 @@ class PromptIR(nn.Module):
             )
         else:
             x = Downsample(d, self.dtype, name="down1_2")(x)
-        x = self._run("encoder_level2", nb[1], 2 * d, hs[1], x)
+
+        def _run_enc(name, n, dim, heads, x):
+            """Encoder stack whose exit stays padded when the fused chain
+            applies: the following Downsample consumes the padded layout
+            and the decoder concat slices it lazily."""
+            from promptir_tpu.parallel.spatial import current_spatial_axis
+
+            if not (
+                fused_chain and not self.use_bias and n > 1
+                and current_spatial_axis() is None
+            ):
+                return self._run(name, n, dim, heads, x), None
+            y = apply_block_stack(
+                self._stack(name, n, dim, heads), x,
+                fused=True, expansion=self.expansion, out_padded=True,
+            )
+            return y if isinstance(y, tuple) else (y, None)
+
+        x, enc2_padded = _run_enc("encoder_level2", nb[1], 2 * d, hs[1], x)
         enc2 = x
-        x = Downsample(2 * d, self.dtype, name="down2_3")(x)
-        x = self._run("encoder_level3", nb[2], 4 * d, hs[2], x)
+        if enc2_padded is not None:
+            x = Downsample(2 * d, self.dtype, name="down2_3")(
+                x, padded_shape=enc2_padded
+            )
+        else:
+            x = Downsample(2 * d, self.dtype, name="down2_3")(x)
+        x, enc3_padded = _run_enc("encoder_level3", nb[2], 4 * d, hs[2], x)
         enc3 = x
-        x = Downsample(4 * d, self.dtype, name="down3_4")(x)
+        if enc3_padded is not None:
+            x = Downsample(4 * d, self.dtype, name="down3_4")(
+                x, padded_shape=enc3_padded
+            )
+        else:
+            x = Downsample(4 * d, self.dtype, name="down3_4")(x)
         x = self._run("latent", nb[3], 8 * d, hs[3], x)
 
         # --- prompt injection at the latent (level-3 prompt) ---
@@ -180,6 +208,9 @@ class PromptIR(nn.Module):
 
         # --- decoder level 3 ---
         x = Upsample(4 * d, self.dtype, name="up4_3")(x)
+        if enc3_padded is not None:
+            w3, c3 = enc3_padded
+            enc3 = enc3[:, :, 1 : 1 + w3, :c3]
         x = jnp.concatenate([x, enc3], axis=-1)
         x = conv(4 * d, 1, "reduce_chan_level3")(x)
         x = self._run("decoder_level3", nb[2], 4 * d, hs[2], x)
@@ -203,6 +234,9 @@ class PromptIR(nn.Module):
 
         # --- decoder level 2 ---
         x = Upsample(4 * d, self.dtype, name="up3_2")(x)
+        if enc2_padded is not None:
+            w2, c2 = enc2_padded
+            enc2 = enc2[:, :, 1 : 1 + w2, :c2]
         x = jnp.concatenate([x, enc2], axis=-1)
         x = conv(2 * d, 1, "reduce_chan_level2")(x)
         x = self._run("decoder_level2", nb[1], 2 * d, hs[1], x)
