@@ -258,9 +258,13 @@ class InferenceEngine:
     def _resolve_exc(self, req: _Request, exc: Exception) -> None:
         with self._lock:
             self._inflight -= 1
-        if not req.future.set_running_or_notify_cancel():
-            return
-        req.future.set_exception(exc)
+        f = req.future
+        try:
+            if not f.running() and not f.set_running_or_notify_cancel():
+                return  # caller cancelled it first — nothing to deliver
+            f.set_exception(exc)
+        except Exception:
+            pass  # lost a cancel/claim race; the future is already settled
 
     def __enter__(self):
         return self
@@ -360,6 +364,20 @@ class InferenceEngine:
                     EngineClosed("engine closed before request ran")
                 )
                 break
+            # claim each future before running it: a caller may cancel() a
+            # pending future, and set_result on a cancelled future raises
+            # InvalidStateError — which would kill this worker thread and
+            # stop the engine serving entirely
+            claimed = []
+            for r in group:
+                if r.future.set_running_or_notify_cancel():
+                    claimed.append(r)
+                else:
+                    with self._lock:
+                        self._inflight -= 1
+            group = claimed
+            if not group:
+                continue
             tiled = self._is_tiled(group[0])
             try:
                 if tiled:

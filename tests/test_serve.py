@@ -283,3 +283,24 @@ def test_http_server_restore_and_health(tiny, monkeypatch):
     finally:
         httpd.shutdown()
         eng.close()
+
+
+def test_engine_survives_cancelled_future(tiny):
+    """A caller cancelling a queued future must not kill the worker:
+    set_result on a cancelled future raises InvalidStateError, so the
+    worker claims futures before running them and skips cancelled ones."""
+    _, params = tiny
+    fn, started, gate = _gated_identity()
+    with InferenceEngine(
+        fn, params, pad_base=8, max_batch=1, batch_timeout_ms=0.0
+    ) as eng:
+        f1 = eng.submit(make_img(0))   # worker blocks in fn
+        assert started.wait(timeout=10)
+        f2 = eng.submit(make_img(1))   # queued behind the wedged forward
+        assert f2.cancel()             # caller gives up
+        gate.set()
+        assert f1.result(timeout=10).shape == make_img(0).shape
+        # the worker must still be alive and serving after the cancel
+        f3 = eng.submit(make_img(2))
+        assert f3.result(timeout=10).shape == make_img(2).shape
+        assert eng.stats()["inflight"] == 0
