@@ -35,10 +35,19 @@ def run_trace(out_dir: str, iters: int = 4) -> None:
     enable_persistent_cache()
     BATCH, SIZE = 16, 512
     model = create_model("promptir", dtype=jnp.bfloat16, fused_ffn=True)
+    # params host-side (eval_shape + host RNG + device_put), exactly as
+    # bench.py: zero remote compiles before the profiled forward
     init_model = create_model("promptir", dtype=jnp.bfloat16, fused_ffn=False)
-    params = jax.jit(init_model.init)(
-        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3))
+    shapes = jax.eval_shape(
+        lambda: init_model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
     )["params"]
+    host_rng = np.random.default_rng(0)
+    params = jax.tree.map(
+        lambda s: jax.device_put(
+            (0.02 * host_rng.standard_normal(s.shape)).astype(s.dtype)
+        ),
+        shapes,
+    )
 
     @jax.jit
     def fn(p, x):

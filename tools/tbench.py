@@ -119,10 +119,18 @@ def main():
         float(jnp.sum(losses))
         times.append((time.perf_counter() - t0) / args.inner)
     sec = min(times)
+    tags = ""
+    if args.fused:
+        tags += " fused"
+    if args.remat:
+        tags += " remat"
+        if args.remat_levels is not None:
+            tags += "[" + ",".join(map(str, args.remat_levels)) + "]"
+    if args.grad_accum > 1:
+        tags += f" accum={args.grad_accum}"
     print(
         f"{args.model} train bs={args.batch} {args.size}px {args.dtype}"
-        f"{' fused' if args.fused else ''}{' remat' if args.remat else ''}: "
-        f"{sec * 1e3:.1f} ms/step  {args.batch / sec:.1f} img/s"
+        f"{tags}: {sec * 1e3:.1f} ms/step  {args.batch / sec:.1f} img/s"
     )
 
 
