@@ -5,9 +5,19 @@ feature resolution with torch bilinear interpolation — align_corners=False
 in the canonical model (/root/reference/net/model.py:232) and
 align_corners=True in the XRestormer flavor
 (/root/reference/net/prompt_xrestormer.py:351). `jax.image.resize` is not
-bit-compatible with either across all shapes, so this gather+lerp
-implementation reproduces both exactly. Resizes here are small (prompt
-maps, <=64px) so a dense gather is cheap and XLA-friendly (static shapes).
+bit-compatible with either across all shapes, so this implementation
+reproduces both.
+
+Computation: bilinear interpolation is LINEAR in the input, so the resize
+is two small dense matmuls, out = A_h @ x @ A_w^T, where each interpolation
+matrix row holds the (1-t, t) lerp weights of one output coordinate. On TPU
+this replaces the gather / lerp / transpose pipeline XLA emits for the
+take-based form (measured 5.5 ms/iter for the 64->256 prompt resize at
+batch 16 — fusion.8/9 row gathers + lerp fusions + 4 layout copies) with
+two MXU dots in one streaming pass; the matrices depend only on shapes, so
+XLA constant-folds them. Numerics: matmul accumulates w_lo*lo + w_hi*hi in
+fp32 vs the lerp's lo + (hi-lo)*t — identical up to one fp32 rounding
+(<1e-7 on [0,1] data; golden tolerance is 2e-5).
 """
 
 from __future__ import annotations
@@ -38,6 +48,18 @@ def _axis_weights(out_size: int, in_size: int, align_corners: bool):
     return lo, hi, w_hi
 
 
+def _interp_matrix(out_size: int, in_size: int, align_corners: bool):
+    """(out_size, in_size) fp32 matrix M with M @ x == bilinear resize of x
+    along that axis; each row has the two lerp weights (they coincide and
+    sum at boundary rows where lo == hi)."""
+    lo, hi, w_hi = _axis_weights(out_size, in_size, align_corners)
+    rows = jnp.arange(out_size)
+    m = jnp.zeros((out_size, in_size), jnp.float32)
+    m = m.at[rows, lo].add(1.0 - w_hi)
+    m = m.at[rows, hi].add(w_hi)
+    return m
+
+
 def resize_bilinear(
     x: jnp.ndarray,
     out_hw: tuple[int, int],
@@ -49,16 +71,11 @@ def resize_bilinear(
     if (oh, ow) == (h, w):
         return x
     dtype = x.dtype
-    xf = x.astype(jnp.float32)
-
-    lo_h, hi_h, wh = _axis_weights(oh, h, align_corners)
-    lo_w, hi_w, ww = _axis_weights(ow, w, align_corners)
-
-    top = jnp.take(xf, lo_h, axis=1)
-    bot = jnp.take(xf, hi_h, axis=1)
-    rows = top + (bot - top) * wh[None, :, None, None]
-
-    left = jnp.take(rows, lo_w, axis=2)
-    right = jnp.take(rows, hi_w, axis=2)
-    out = left + (right - left) * ww[None, None, :, None]
+    out = x.astype(jnp.float32)
+    if oh != h:
+        a_h = _interp_matrix(oh, h, align_corners)
+        out = jnp.einsum("Oh,bhwc->bOwc", a_h, out)
+    if ow != w:
+        a_w = _interp_matrix(ow, w, align_corners)
+        out = jnp.einsum("Ww,bowc->boWc", a_w, out)
     return out.astype(dtype)
