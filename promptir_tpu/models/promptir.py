@@ -29,6 +29,7 @@ from promptir_tpu.models import register_model
 from promptir_tpu.models.blocks import (
     DeadConv,
     TransformerBlock,
+    _ConvKernel,
     apply_block_stack,
 )
 from promptir_tpu.ops.conv import Conv
@@ -112,73 +113,83 @@ class PromptIR(nn.Module):
         DeadConv(2 * d + 128, 2 * d, self.use_bias, name="reduce_noise_channel_2")()
         DeadConv(4 * d + 256, 4 * d, self.use_bias, name="reduce_noise_channel_3")()
 
-        # Level-1 glue elision (fused inference): when the level-1 fused
-        # chain will run, the patch embed emits the kernels' padded layout
-        # directly and the encoder stack consumes it — skipping the
-        # layout-fix copy + entry pad (~6.5 ms at 512^2 batch 16); the
-        # decoder end likewise hands its padded exit straight to the
-        # output head (apply_block_stack(out_padded) + FewChannelConv3).
-        fused_chain = self.fused_ffn and not self.remat
-        chain1 = False
-        if fused_chain and not self.use_bias and nb[0] > 1:
-            from promptir_tpu.ops.pallas.autodiff import block_fits
+        # Glue elision (fused inference): when a level's fused chain will
+        # run, its entry producer emits the kernels' padded layout
+        # directly (patch embed / Downsample padded_out — dirty border
+        # columns, which the kernels tolerate) and its exit stays padded
+        # for the next consumer (folded downsample, decoder seam, output
+        # head) — the per-seam layout-fix copies, pads and slices never
+        # materialize.
+        # chaining is inference-path only: remat wraps __call__'s static
+        # padded_shape arg, and sharded traces keep the plain layout
+        fused_chain = (
+            self.fused_ffn and not self.remat and not self.use_bias
+        )
+        if fused_chain:
             from promptir_tpu.parallel.spatial import current_spatial_axis
 
-            _, ih, iw, _ = inp_img.shape
-            chain1 = current_spatial_axis() is None and block_fits(
-                ih, iw, d, 2 * int(d * self.expansion), hs[0]
+            fused_chain = current_spatial_axis() is None
+        _, ih, iw, _ = inp_img.shape
+
+        def _chains(n, level_h, level_w, dim, heads):
+            """True when the level's stack will run as one padded fused
+            chain."""
+            if not (fused_chain and n > 1):
+                return False
+            from promptir_tpu.ops.pallas.autodiff import block_fits
+
+            return block_fits(
+                level_h, level_w, dim, 2 * int(dim * self.expansion), heads
             )
+
+        chain1 = _chains(nb[0], ih, iw, d, hs[0])
+        chain2 = _chains(nb[1], ih // 2, iw // 2, 2 * d, hs[1])
+        chain3 = _chains(nb[2], ih // 4, iw // 4, 4 * d, hs[2])
 
         x = OverlapPatchEmbed(d, self.use_bias, self.dtype, name="patch_embed")(
             inp_img.astype(self.dtype), padded_out=chain1
         )
 
         # --- encoder ---
-        enc1_padded = None
-        if chain1:
-            # keep enc1 in the padded layout: down1_2's folded conv and
-            # the decoder concat both consume it without the exit slice
-            x, enc1_padded = apply_block_stack(
-                self._stack("encoder_level1", nb[0], d, hs[0]), x,
-                fused=True, expansion=self.expansion, in_padded=(iw, d),
-                out_padded=True,
-            )
-        else:
-            x = self._run("encoder_level1", nb[0], d, hs[0], x)
-        enc1 = x
-        if enc1_padded is not None:
-            x = Downsample(d, self.dtype, name="down1_2")(
-                x, padded_shape=enc1_padded
-            )
-        else:
-            x = Downsample(d, self.dtype, name="down1_2")(x)
+        def _enc_level(name, n, dim, heads, x, chained, in_padded):
+            """One encoder stack; exit stays padded when it chains (the
+            following Downsample and the decoder seam both consume the
+            padded layout without an exit slice)."""
+            if not chained:
+                if in_padded is not None:  # producer emitted padded
+                    from promptir_tpu.ops.pallas.block import unpad_nhwc
 
-        def _run_enc(name, n, dim, heads, x):
-            """Encoder stack whose exit stays padded when the fused chain
-            applies: the following Downsample consumes the padded layout
-            and the decoder concat slices it lazily."""
-            from promptir_tpu.parallel.spatial import current_spatial_axis
-
-            if not (
-                fused_chain and not self.use_bias and n > 1
-                and current_spatial_axis() is None
-            ):
+                    x = unpad_nhwc(x, *in_padded)
                 return self._run(name, n, dim, heads, x), None
             y = apply_block_stack(
                 self._stack(name, n, dim, heads), x,
-                fused=True, expansion=self.expansion, out_padded=True,
+                fused=True, expansion=self.expansion, in_padded=in_padded,
+                out_padded=True,
             )
             return y if isinstance(y, tuple) else (y, None)
 
-        x, enc2_padded = _run_enc("encoder_level2", nb[1], 2 * d, hs[1], x)
+        x, enc1_padded = _enc_level(
+            "encoder_level1", nb[0], d, hs[0], x, chain1,
+            (iw, d) if chain1 else None,
+        )
+        enc1 = x
+        x = Downsample(d, self.dtype, name="down1_2")(
+            x, padded_shape=enc1_padded,
+            padded_out=enc1_padded is not None and chain2,
+        )
+        x, enc2_padded = _enc_level(
+            "encoder_level2", nb[1], 2 * d, hs[1], x, chain2,
+            (iw // 2, 2 * d) if enc1_padded is not None and chain2 else None,
+        )
         enc2 = x
-        if enc2_padded is not None:
-            x = Downsample(2 * d, self.dtype, name="down2_3")(
-                x, padded_shape=enc2_padded
-            )
-        else:
-            x = Downsample(2 * d, self.dtype, name="down2_3")(x)
-        x, enc3_padded = _run_enc("encoder_level3", nb[2], 4 * d, hs[2], x)
+        x = Downsample(2 * d, self.dtype, name="down2_3")(
+            x, padded_shape=enc2_padded,
+            padded_out=enc2_padded is not None and chain3,
+        )
+        x, enc3_padded = _enc_level(
+            "encoder_level3", nb[2], 4 * d, hs[2], x, chain3,
+            (iw // 4, 4 * d) if enc2_padded is not None and chain3 else None,
+        )
         enc3 = x
         if enc3_padded is not None:
             x = Downsample(4 * d, self.dtype, name="down3_4")(
@@ -206,14 +217,68 @@ class PromptIR(nn.Module):
             )(x)
             x = conv(4 * d, 1, "reduce_noise_level3")(x)
 
+        def _dec_entry(x, enc, enc_padded, n_feat, cout, up_name, red_name,
+                       stack_name, n, heads):
+            """Decoder-level entry: upsample + skip concat + 1x1 reduce +
+            block stack. When the skip is resident in the fused kernels'
+            padded layout and the stack will chain, the seam runs fused:
+            reduce(concat([up, enc])) == up @ W[:cu] + enc @ W[cu:], so the
+            up-half of the reduce composes into the up-conv kernel
+            (Upsample fold), the enc-half is a 1x1 that consumes AND
+            produces the padded layout (zero borders stay zero), and their
+            sum IS the stack's padded entry — the concat, the skip's
+            exit-slice, the reduce's full-resolution pass and the entry pad
+            all collapse into one fusion (PROFILE.md round-4 seam plan).
+            Exact up to fp reassociation of the reduce's channel sum
+            (covered by test_promptir_fused_chain_matches_unfused)."""
+            cu = n_feat // 2  # up-branch channels after pixel-shuffle
+            use_seam = False
+            if enc_padded is not None and not self.use_bias and n > 1:
+                from promptir_tpu.ops.pallas.autodiff import block_fits
+
+                w_real, c_real = enc_padded
+                use_seam = block_fits(
+                    2 * x.shape[1], w_real, cout,
+                    2 * int(cout * self.expansion), heads,
+                )
+            if use_seam:
+                from promptir_tpu.ops.pallas.gdfn import _lanes
+
+                w_red = _ConvKernel(
+                    (1, 1, cu + c_real, cout), name=red_name
+                )().reshape(cu + c_real, cout)
+                up = Upsample(n_feat, self.dtype, name=up_name)(
+                    x, fold=w_red[:cu]
+                )
+                _, _, wp, _ = enc.shape
+                cp_out = _lanes(cout)
+                w_enc = jnp.pad(
+                    w_red[cu:],
+                    ((0, enc.shape[-1] - c_real), (0, cp_out - cout)),
+                )
+                xp = jnp.einsum(
+                    "bhwc,cd->bhwd", enc, w_enc.astype(enc.dtype)
+                ) + jnp.pad(
+                    up,
+                    ((0, 0), (0, 0), (1, wp - w_real - 1),
+                     (0, cp_out - cout)),
+                )
+                return apply_block_stack(
+                    self._stack(stack_name, n, cout, heads), xp,
+                    fused=True, expansion=self.expansion,
+                    in_padded=(w_real, cout),
+                )
+            x = Upsample(n_feat, self.dtype, name=up_name)(x)
+            if enc_padded is not None:
+                w_real, c_real = enc_padded
+                enc = enc[:, :, 1 : 1 + w_real, :c_real]
+            x = jnp.concatenate([x, enc], axis=-1)
+            x = conv(cout, 1, red_name)(x)
+            return self._run(stack_name, n, cout, heads, x)
+
         # --- decoder level 3 ---
-        x = Upsample(4 * d, self.dtype, name="up4_3")(x)
-        if enc3_padded is not None:
-            w3, c3 = enc3_padded
-            enc3 = enc3[:, :, 1 : 1 + w3, :c3]
-        x = jnp.concatenate([x, enc3], axis=-1)
-        x = conv(4 * d, 1, "reduce_chan_level3")(x)
-        x = self._run("decoder_level3", nb[2], 4 * d, hs[2], x)
+        x = _dec_entry(x, enc3, enc3_padded, 4 * d, 4 * d, "up4_3",
+                       "reduce_chan_level3", "decoder_level3", nb[2], hs[2])
 
         if self.decoder:
             p2 = PromptGenBlock(
@@ -233,13 +298,8 @@ class PromptIR(nn.Module):
             x = conv(4 * d, 1, "reduce_noise_level2")(x)
 
         # --- decoder level 2 ---
-        x = Upsample(4 * d, self.dtype, name="up3_2")(x)
-        if enc2_padded is not None:
-            w2, c2 = enc2_padded
-            enc2 = enc2[:, :, 1 : 1 + w2, :c2]
-        x = jnp.concatenate([x, enc2], axis=-1)
-        x = conv(2 * d, 1, "reduce_chan_level2")(x)
-        x = self._run("decoder_level2", nb[1], 2 * d, hs[1], x)
+        x = _dec_entry(x, enc2, enc2_padded, 4 * d, 2 * d, "up3_2",
+                       "reduce_chan_level2", "decoder_level2", nb[1], hs[1])
 
         if self.decoder:
             p1 = PromptGenBlock(
@@ -264,10 +324,28 @@ class PromptIR(nn.Module):
         # ~6.6 ms at 512^2 batch 16) and hand the padded exit straight to
         # the output head.
         x = Upsample(2 * d, self.dtype, name="up2_1")(x)
+        in_padded1 = None
         if enc1_padded is not None:
+            # padded-space concat (dec1 has no reduce to fold): the up
+            # branch lands in lanes 0:d at cols 1:1+w and the skip — still
+            # resident in the padded layout from the encoder — shifts to
+            # lanes d:2d. One fusion reads the up-conv output + the padded
+            # skip and writes the chain's padded entry; the skip's
+            # exit-slice, the concat and the entry pad never materialize.
+            from promptir_tpu.ops.pallas.gdfn import _lanes
+
             w1, c1 = enc1_padded
-            enc1 = enc1[:, :, 1 : 1 + w1, :c1]  # fuses into the entry pad
-        x = jnp.concatenate([x, enc1], axis=-1)
+            wp1 = enc1.shape[2]
+            cp1 = _lanes(2 * d)
+            x = jnp.pad(
+                x, ((0, 0), (0, 0), (1, wp1 - w1 - 1), (0, cp1 - c1))
+            ) + jnp.pad(
+                enc1[:, :, :, :c1],
+                ((0, 0), (0, 0), (0, 0), (c1, cp1 - 2 * c1)),
+            )
+            in_padded1 = (w1, 2 * d)
+        else:
+            x = jnp.concatenate([x, enc1], axis=-1)
         x, padded = apply_block_stack(
             self._stack("decoder_level1", nb[0], 2 * d, hs[0])
             + self._stack(
@@ -276,6 +354,7 @@ class PromptIR(nn.Module):
             x,
             fused=fused_chain,
             expansion=self.expansion,
+            in_padded=in_padded1,
             out_padded=True,
         )
 

@@ -42,9 +42,14 @@ class OverlapPatchEmbed(nn.Module):
             # so the conv itself writes the lane-padded buffer and the
             # usual layout-fix copy + entry pad of the first block stack
             # (~6.5 ms at 512^2 batch 16) never materialize. The border
-            # columns come out of the conv nonzero (they see real pixels);
-            # the column mask restores the layout's zero-border contract
-            # and XLA fuses it into the conv epilogue.
+            # COLUMNS come out of the conv nonzero (they see real pixels)
+            # and are left dirty: chain entries tolerate junk border
+            # columns — both kernel passes border-mask the stripe before
+            # any spatial tap (ops/pallas/gdfn.py:ln_gdfn_stripe,
+            # mdta.py:stats_stripe) and re-emit true zero borders — which
+            # spares the full-resolution mask-multiply pass (~3.3 ms at
+            # 512^2 batch 16). Zero LANES remain load-bearing (LN divides
+            # by c_real) and come from the zero-padded kernel columns.
             cp = -(-self.embed_dim // 128) * 128
             b_, h_, w_, cin = x.shape
             wp = w_ + 2 + ((-(w_ + 2)) % 8)
@@ -64,10 +69,10 @@ class OverlapPatchEmbed(nn.Module):
             )
             if bias is not None:
                 bw = jnp.pad(bias, (0, cp - self.embed_dim))
+                # bias only on real lanes; pad lanes stay zero. Border
+                # columns are dirty anyway (see above), so no column mask.
                 y = y + bw.astype(y.dtype)
-            cols = jnp.arange(wp)
-            mask = (cols >= 1) & (cols <= w_)
-            return y * mask[None, None, :, None].astype(y.dtype)
+            return y
         return Conv(
             self.embed_dim,
             (3, 3),

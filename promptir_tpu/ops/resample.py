@@ -210,7 +210,8 @@ class Downsample(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, padded_shape=None) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, padded_shape=None,
+                 padded_out: bool = False) -> jnp.ndarray:
         from promptir_tpu.parallel.spatial import current_spatial_axis
 
         half = self.n_feat // 2
@@ -230,6 +231,29 @@ class Downsample(nn.Module):
             k = fold_unshuffle_kernel(w)
             k = jnp.pad(k, ((0, 0), (0, 0), (0, x.shape[-1] - c_real),
                             (0, 0))).astype(self.dtype)
+            if padded_out:
+                # emit the NEXT level's pad_nhwc layout directly: shift
+                # the window left by one output column (width pad 2) so
+                # real outputs land at cols 1..w/2, and size the right pad
+                # to hit wp2 exactly. Col 0 and the first tail col come
+                # out dirty (their windows touch real pixels) — chain
+                # entries tolerate dirty border columns (the kernels mask
+                # the stripe before any spatial tap; see
+                # ops/embed.py:OverlapPatchEmbed padded_out). Kernel
+                # output channels are zero-widened to cp2 so pad lanes
+                # stay true zero (load-bearing for the entry LN).
+                w2 = w_real // 2
+                wp2 = w2 + 2 + ((-(w2 + 2)) % 8)
+                cp2 = lanes(4 * half)
+                pr = 2 * wp2 - x.shape[2]
+                assert pr >= 0, "padded_out needs 2*wp2 >= wp_in"
+                k = jnp.pad(k, ((0, 0), (0, 0), (0, 0),
+                                (0, cp2 - 4 * half)))
+                return jax.lax.conv_general_dilated(
+                    x.astype(self.dtype), k,
+                    window_strides=(2, 2), padding=((1, 1), (2, pr)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
             y = jax.lax.conv_general_dilated(
                 x.astype(self.dtype), k,
                 window_strides=(2, 2), padding=((1, 1), (0, 0)),
@@ -277,7 +301,14 @@ class Upsample(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, fold=None) -> jnp.ndarray:
+        """`fold`: optional (n_feat//2, cout) matrix of a 1x1 conv that
+        immediately follows the upsample (a decoder `reduce_chan_*` split
+        at the concat boundary). Because pixel-shuffle only permutes
+        (position, channel), the 1x1 composes into the up-conv KERNEL at
+        trace time — same conv cost, and the reduce's separate pass over
+        the full-resolution tensor never runs (decoder-seam fusion,
+        PROFILE.md round-4 plan)."""
         import os
 
         f = self.n_feat * 2
@@ -290,11 +321,23 @@ class Upsample(nn.Module):
             if current_spatial_axis() is None:
                 w = _Kernel((3, 3, x.shape[-1], f), name="body_0")()
                 c = f // 4
-                # torch lane order is c*4 + i*2 + j; ij-major wants
-                # (i*2 + j)*c + c_idx
-                idx = jnp.arange(f)
-                perm = (idx % 4) * c + idx // 4  # dest position of lane idx
-                w_ij = jnp.zeros_like(w).at[..., perm].set(w)
+                if fold is not None:
+                    # torch lane order c*4 + i*2 + j -> dims (c, i, j);
+                    # compose the 1x1 and emit ij-major (i, j, cout) lanes
+                    cin = x.shape[-1]
+                    cout = fold.shape[1]
+                    w_ij = jnp.einsum(
+                        "xyzcij,cd->xyzijd",
+                        w.reshape(3, 3, cin, c, 2, 2),
+                        fold,
+                    ).reshape(3, 3, cin, 4 * cout)
+                    c = cout
+                else:
+                    # torch lane order is c*4 + i*2 + j; ij-major wants
+                    # (i*2 + j)*c + c_idx
+                    idx = jnp.arange(f)
+                    perm = (idx % 4) * c + idx // 4  # dest of lane idx
+                    w_ij = jnp.zeros_like(w).at[..., perm].set(w)
                 y = jax.lax.conv_general_dilated(
                     x.astype(self.dtype), w_ij.astype(self.dtype),
                     window_strides=(1, 1), padding=((1, 1), (1, 1)),
@@ -312,4 +355,7 @@ class Upsample(nn.Module):
             dtype=self.dtype,
             name="body_0",
         )(x)
-        return pixel_shuffle(x, 2)
+        y = pixel_shuffle(x, 2)
+        if fold is not None:
+            y = jnp.einsum("bhwc,cd->bhwd", y, fold.astype(y.dtype))
+        return y

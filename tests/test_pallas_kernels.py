@@ -549,7 +549,11 @@ def test_promptir_fused_chain_matches_unfused():
     import promptir_tpu.ops.pallas.autodiff as ad
     from promptir_tpu.models import create_model
 
-    kw = dict(num_blocks=(2, 1, 1, 1), num_refinement_blocks=2)
+    # 2 blocks at levels 1-3 so every padded-resident seam runs: encoder
+    # chains (levels 1-3), the folded downsamples, the decoder-entry seams
+    # (up-fold + padded-skip matmul at levels 3/2, padded concat at level
+    # 1) and the padded output head.
+    kw = dict(num_blocks=(2, 2, 2, 1), num_refinement_blocks=2)
     m_ref = create_model("promptir", **kw)
     m_fused = create_model("promptir", **kw, fused_ffn=True)
     x = jnp.asarray(
