@@ -8,6 +8,7 @@ for 1:1 checkpoint mapping.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -73,7 +74,7 @@ class _AttnParams(nn.Module):
 
 def fused_mdta_gdfn_block(x, dim, num_heads, hidden, *, bias_free, dtype,
                           names=("norm1", "attn", "norm2", "ffn"),
-                          padded_shape=None):
+                          padded_shape=None, remat_fallback=False):
     """Declare an MDTA+GDFN block's params (paths identical to the unfused
     modules) and run it through the fused kernels. Shared by
     TransformerBlock, XTransformerBlock's channel half, and
@@ -88,13 +89,13 @@ def fused_mdta_gdfn_block(x, dim, num_heads, hidden, *, bias_free, dtype,
     return fused_block_apply(
         x, lnw1, lnb1, wqkv, wdw, wproj, temp, num_heads,
         lnw2, lnb2, w1, wdwf, w2, bias_free=bias_free, dtype=dtype,
-        padded_shape=padded_shape,
+        padded_shape=padded_shape, remat_fallback=remat_fallback,
     )
 
 
 def fused_block_apply(x, lnw1, lnb1, wqkv, wdwa, wproj, temp, num_heads,
                       lnw2, lnb2, w1, wdwf, w2, *, bias_free, dtype,
-                      padded_shape=None):
+                      padded_shape=None, remat_fallback=False):
     """x + MDTA(LN1(x)); + GDFN(LN2(.)) through the Pallas kernels.
 
     Tries whole-block fusion (stats + tail, ops/pallas/block.py), then the
@@ -105,6 +106,14 @@ def fused_block_apply(x, lnw1, lnb1, wqkv, wdwa, wproj, temp, num_heads,
     (B,H,wp,cp) from pad_nhwc and comes back padded too. The caller is
     responsible for only requesting it when the fused path fits
     (autodiff.block_fits) — otherwise the block unpads, computes, repads.
+
+    `remat_fallback=True` wraps the plain-XLA fallbacks in
+    `jax.checkpoint`. The fused kernels themselves never need it: their
+    custom VJP saves only the block input + weights and recomputes the
+    rest in the backward (ops/pallas/autodiff.py), i.e. each fused block
+    IS its own remat boundary — wrapping one in nn.remat replays the
+    fused forward a second time for nothing (measured 925 vs 528 ms/step,
+    TRAIN_BENCH.md round 3).
     """
     from promptir_tpu.ops.pallas.autodiff import (
         ln_block,
@@ -135,6 +144,7 @@ def fused_block_apply(x, lnw1, lnb1, wqkv, wdwa, wproj, temp, num_heads,
             unpad_nhwc(x, w_real, c_real), lnw1, lnb1, wqkv, wdwa, wproj,
             temp, num_heads, lnw2, lnb2, w1, wdwf, w2,
             bias_free=bias_free, dtype=dtype,
+            remat_fallback=remat_fallback,
         )
         return pad_nhwc(inner)
 
@@ -160,13 +170,18 @@ def fused_block_apply(x, lnw1, lnb1, wqkv, wdwa, wproj, temp, num_heads,
     out = ln_block(*margs[:7], num_heads, *gargs, bias_free=bias_free)
     if out is not None:
         return out.astype(x.dtype)
+    _ckpt = jax.checkpoint if remat_fallback else (lambda f: f)
     out = ln_mdta(*margs, bias_free=bias_free)
     if out is None:
-        out = xla_ln_mdta(*margs, bias_free=bias_free)
+        out = _ckpt(
+            lambda *a: xla_ln_mdta(*a, num_heads, bias_free=bias_free)
+        )(*margs[:7])
     x2 = out
     out = ln_gdfn(x2, *gargs, bias_free=bias_free)
     if out is None:
-        out = xla_ln_gdfn(x2, *gargs, bias_free=bias_free)
+        out = _ckpt(lambda *a: xla_ln_gdfn(*a, bias_free=bias_free))(
+            x2, *gargs
+        )
     return out.astype(x.dtype)
 
 
@@ -207,6 +222,9 @@ class TransformerBlock(nn.Module):
     bias_free_norm: bool = False  # reference 'LayerNorm_type' WithBias default
     dtype: jnp.dtype = jnp.float32
     fused_ffn: bool = False
+    # jax.checkpoint the plain-XLA fallback paths (the fused kernels are
+    # their own remat boundary via custom_vjp — see fused_block_apply)
+    remat_fallback: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, padded_shape=None) -> jnp.ndarray:
@@ -216,6 +234,7 @@ class TransformerBlock(nn.Module):
                 x, self.dim, self.num_heads, hidden,
                 bias_free=self.bias_free_norm, dtype=self.dtype,
                 padded_shape=padded_shape,
+                remat_fallback=self.remat_fallback,
             )
         assert padded_shape is None  # chain mode requires the fused path
         y = RestormerLayerNorm(

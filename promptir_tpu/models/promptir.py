@@ -78,16 +78,28 @@ class PromptIR(nn.Module):
         use_remat = self.remat and (
             self.remat_levels is None or level in self.remat_levels
         )
-        cls = nn.remat(TransformerBlock) if use_remat else TransformerBlock
+        if self.fused_ffn and not self.use_bias:
+            # The fused whole-block path is its own remat boundary: its
+            # custom VJP saves only the block input + weights and
+            # recomputes the rest in the backward (ops/pallas/autodiff.py).
+            # nn.remat on top replays the fused forward a second time for
+            # nothing (measured 925 vs 528 ms/step at batch 24/128^2,
+            # TRAIN_BENCH.md round 3), so fused blocks stay unwrapped and
+            # only their plain-XLA fallbacks checkpoint themselves.
+            common["remat_fallback"] = use_remat
+            cls = TransformerBlock
+        else:
+            cls = (
+                nn.remat(TransformerBlock) if use_remat else TransformerBlock
+            )
         return [cls(**common, name=f"{name}_{i}") for i in range(n)]
 
     def _run(self, name: str, n: int, dim: int, heads: int, x):
         """One level's block stack, chained in the kernels' padded layout
-        when the fused path applies (remat wraps __call__'s static
-        padded_shape arg, so chaining is for the non-remat path)."""
+        when the fused path applies."""
         return apply_block_stack(
             self._stack(name, n, dim, heads), x,
-            fused=self.fused_ffn and not self.remat,
+            fused=self.fused_ffn,
             expansion=self.expansion,
         )
 
@@ -113,18 +125,16 @@ class PromptIR(nn.Module):
         DeadConv(2 * d + 128, 2 * d, self.use_bias, name="reduce_noise_channel_2")()
         DeadConv(4 * d + 256, 4 * d, self.use_bias, name="reduce_noise_channel_3")()
 
-        # Glue elision (fused inference): when a level's fused chain will
+        # Glue elision (fused path): when a level's fused chain will
         # run, its entry producer emits the kernels' padded layout
         # directly (patch embed / Downsample padded_out — dirty border
         # columns, which the kernels tolerate) and its exit stays padded
         # for the next consumer (folded downsample, decoder seam, output
         # head) — the per-seam layout-fix copies, pads and slices never
-        # materialize.
-        # chaining is inference-path only: remat wraps __call__'s static
-        # padded_shape arg, and sharded traces keep the plain layout
-        fused_chain = (
-            self.fused_ffn and not self.remat and not self.use_bias
-        )
+        # materialize. Training uses the same chain (fused blocks are
+        # their own remat boundary, see _stack); sharded traces keep the
+        # plain layout.
+        fused_chain = self.fused_ffn and not self.use_bias
         if fused_chain:
             from promptir_tpu.parallel.spatial import current_spatial_axis
 

@@ -32,14 +32,46 @@ from promptir_tpu.ops.pallas import gdfn as _gdfn
 from promptir_tpu.ops.pallas import mdta as _mdta
 
 
+def tpu_ok(interpret: bool) -> bool:
+    """The raw kernels are Mosaic TPU programs: compiling one on a CPU/GPU
+    backend fails at lowering. Callers treat a None return as 'fall back
+    to plain XLA', so every wrapper gates on the default backend unless
+    the caller asked for interpret mode (the tests' CPU path)."""
+    return interpret or jax.default_backend() == "tpu"
+
+
+def _serialize_on(res, g):
+    """Tie the saved residuals to the incoming cotangent with an
+    optimization barrier. A block's backward recompute depends only on its
+    residuals (live since the forward), so without the barrier XLA's
+    scheduler hoists EVERY block's recompute ahead of the sequential dx
+    chain and keeps all their hidden-grad temps alive at once — measured
+    +3 GB peak HBM (OOM at batch 24/128^2) on an 8-block level-1 stack.
+    The barrier makes each recompute wait for its cotangent, serializing
+    block backwards exactly like the dataflow already implies."""
+    flat = jax.lax.optimization_barrier((*res, g))
+    return flat[:-1], flat[-1]
+
+
 def _dwconv3x3(h: jnp.ndarray, taps: jnp.ndarray) -> jnp.ndarray:
-    """Depthwise 3x3, zero padded. h: (B,H,W,F); taps: (3,3,F)."""
-    hh, ww = h.shape[1], h.shape[2]
-    hp = jnp.pad(h, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    return sum(
-        hp[:, di : di + hh, dj : dj + ww, :] * taps[di, dj]
-        for di in range(3)
-        for dj in range(3)
+    """Depthwise 3x3, zero padded. h: (B,H,W,F); taps: (3,3,F).
+
+    Expressed as a grouped `lax.conv_general_dilated`, NOT as 9 shifted
+    multiply-adds: this function's main job is being DIFFERENTIATED (it
+    is the backward-recompute composition for the fused kernels), and the
+    VJP of the 9-FMA form is ~27 separate full-tensor passes per block —
+    9 tap-grad multiply+reduces, 9 input-grad FMAs and 9 pad-shift adds
+    over the (B,H,W,2f) hidden (400 MB at batch 24/128^2/C96). Measured
+    552 ms/step of the 922 ms fused-remat training step lived in exactly
+    those fusions; the conv op's VJP lowers to XLA's fused conv-backward
+    emitters instead (the same path the unfused modules' depthwise convs
+    take, ops/attention.py:101-109)."""
+    f = h.shape[-1]
+    return jax.lax.conv_general_dilated(
+        h, taps.reshape(3, 3, 1, f).astype(h.dtype),
+        window_strides=(1, 1), padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=f,
     )
 
 
@@ -86,6 +118,7 @@ def _ln_gdfn_fwd(x, lnw, lnb, w1, wdw, w2, bias_free, eps, interpret):
 
 
 def _ln_gdfn_bwd(bias_free, eps, interpret, res, g):
+    res, g = _serialize_on(res, g)
     _, vjp = jax.vjp(
         lambda *a: xla_ln_gdfn(*a, bias_free=bias_free, eps=eps), *res
     )
@@ -116,6 +149,7 @@ def _ln_mdta_fwd(x, lnw, lnb, wqkv, wdw, wproj, temp, num_heads, bias_free,
 
 
 def _ln_mdta_bwd(num_heads, bias_free, eps, interpret, res, g):
+    res, g = _serialize_on(res, g)
     _, vjp = jax.vjp(
         lambda *a: xla_ln_mdta(
             *a, num_heads, bias_free=bias_free, eps=eps
@@ -153,6 +187,8 @@ def _ln_block_fwd(x, ln1w, ln1b, wqkv, wdwa, wproj, temp, ln2w, ln2b, w1,
 
 
 def _ln_block_bwd(num_heads, bias_free, eps, interpret, res, g):
+    res, g = _serialize_on(res, g)
+
     def ref(x, ln1w, ln1b, wqkv, wdwa, wproj, temp, ln2w, ln2b, w1, wdwf,
             w2):
         x2 = xla_ln_mdta(x, ln1w, ln1b, wqkv, wdwa, wproj, temp, num_heads,
@@ -195,6 +231,7 @@ def _ln_block_p_fwd(xp, ln1w, ln1b, wqkv, wdwa, wproj, temp, ln2w, ln2b,
 
 def _ln_block_p_bwd(num_heads, bias_free, eps, interpret, w_real, c_real,
                     res, g):
+    res, g = _serialize_on(res, g)
     wp, cp = res[0].shape[2], res[0].shape[3]
 
     def ref(xp, ln1w, ln1b, wqkv, wdwa, wproj, temp, ln2w, ln2b, w1, wdwf,
@@ -236,7 +273,8 @@ def ln_block_p(xp, w, c, ln1w, ln1b, wqkv, wdwa, wproj, temp, num_heads,
     xp is (B,H,wp,cp) from block.py:pad_nhwc with zero pad columns/lanes,
     and the padded layout is returned. None if no stripe fits VMEM."""
     _, h, _, _ = xp.shape
-    if not block_fits(h, w, c, w1.shape[1], num_heads):
+    if not tpu_ok(interpret) or not block_fits(h, w, c, w1.shape[1],
+                                               num_heads):
         return None
     ln1b = jnp.zeros_like(ln1w) if ln1b is None else ln1b
     ln2b = jnp.zeros_like(ln2w) if ln2b is None else ln2b
@@ -251,7 +289,8 @@ def ln_block(x, ln1w, ln1b, wqkv, wdwa, wproj, temp, num_heads,
     """Differentiable whole-TransformerBlock fusion (stats pass + fused
     MDTA-apply+LN+GDFN tail); None if either pass doesn't fit VMEM."""
     _, h, w, c = x.shape
-    if not block_fits(h, w, c, w1.shape[1], num_heads):
+    if not tpu_ok(interpret) or not block_fits(h, w, c, w1.shape[1],
+                                               num_heads):
         return None
     ln1b = jnp.zeros_like(ln1w) if ln1b is None else ln1b
     ln2b = jnp.zeros_like(ln2w) if ln2b is None else ln2b
@@ -265,7 +304,7 @@ def ln_gdfn(x, lnw, lnb, w1, wdw, w2, *, bias_free=False, eps=1e-5,
     _, h, w, c = x.shape
     cp = _gdfn._lanes(c)
     fpad = _gdfn._lanes(w1.shape[1] // 2)
-    if _gdfn._pick_th(h, w, cp, 2 * fpad) is None:
+    if not tpu_ok(interpret) or _gdfn._pick_th(h, w, cp, 2 * fpad) is None:
         return None
     lnb = jnp.zeros_like(lnw) if lnb is None else lnb
     return _ln_gdfn(x, lnw, lnb, w1, wdw, w2, bias_free, eps, interpret)
@@ -276,7 +315,8 @@ def ln_mdta(x, lnw, lnb, wqkv, wdw, wproj, temp, num_heads, *,
     """Differentiable fused x + MDTA(LN(x)); None if no stripe fits VMEM."""
     _, h, w, c = x.shape
     cp = _gdfn._lanes(c)
-    if _mdta._pick_th(h, w, cp) is None or cp % num_heads:
+    if (not tpu_ok(interpret) or _mdta._pick_th(h, w, cp) is None
+            or cp % num_heads):
         return None
     lnb = jnp.zeros_like(lnw) if lnb is None else lnb
     return _ln_mdta(x, lnw, lnb, wqkv, wdw, wproj, temp, num_heads,

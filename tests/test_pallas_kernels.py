@@ -577,3 +577,53 @@ def test_promptir_fused_chain_matches_unfused():
             setattr(ad, n, f)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=5e-4,
                                atol=5e-4)
+
+
+def test_promptir_fused_remat_grads_match_plain():
+    """Training path: fused_ffn + remat (fused blocks unwrapped — their
+    custom VJP is the remat boundary; XLA fallbacks jax.checkpoint
+    themselves) must produce the plain model's gradients, through the
+    padded chains and the decoder-seam fusions."""
+    import functools
+
+    import promptir_tpu.ops.pallas.autodiff as ad
+    from promptir_tpu.models import create_model
+
+    kw = dict(num_blocks=(2, 2, 1, 1), num_refinement_blocks=2)
+    m_ref = create_model("promptir", **kw)
+    m_tr = create_model("promptir", **kw, fused_ffn=True, remat=True)
+    x = jnp.asarray(
+        np.random.default_rng(7).uniform(size=(1, 32, 32, 3))
+        .astype(np.float32)
+    )
+    tgt = jnp.asarray(
+        np.random.default_rng(8).uniform(size=(1, 32, 32, 3))
+        .astype(np.float32)
+    )
+    params = m_ref.init(jax.random.PRNGKey(3), x)
+    g_ref = jax.grad(
+        lambda p: jnp.mean(jnp.abs(m_ref.apply(p, x) - tgt))
+    )(params)
+
+    patched = {
+        n: functools.partial(getattr(ad, n), interpret=True)
+        for n in ("ln_gdfn", "ln_mdta", "ln_block", "ln_block_p")
+    }
+    orig = {n: getattr(ad, n) for n in patched}
+    for n, f in patched.items():
+        setattr(ad, n, f)
+    try:
+        g = jax.grad(
+            lambda p: jnp.mean(jnp.abs(m_tr.apply(p, x) - tgt))
+        )(params)
+    finally:
+        for n, f in orig.items():
+            setattr(ad, n, f)
+    flat_ref = jax.tree_util.tree_leaves_with_path(g_ref)
+    flat = dict(jax.tree_util.tree_leaves_with_path(g))
+    assert len(flat) == len(flat_ref)
+    for path, a in flat_ref:
+        np.testing.assert_allclose(
+            np.asarray(flat[path]), np.asarray(a), rtol=2e-3, atol=2e-4,
+            err_msg=jax.tree_util.keystr(path),
+        )

@@ -15,12 +15,14 @@ block_until_ready can return early through the relay, so the measurement
 is fenced by fetching a dependent scalar.
 
 Measured on one v5e chip (full-depth promptir, 128px batch 24 bf16):
-  --remat            529 ms/step, 45.3 img/s  <- recommended training config
-  --fused --remat    925 ms/step (remat replays the fused forward AND the
-                     custom-VJP remats the unfused one: double recompute)
+  --remat            528 ms/step, 45.4 img/s  <- recommended training config
+  --fused --remat    530 ms/step (Pallas forward; custom-VJP backward
+                     remats through the conv-form XLA composition —
+                     parity with plain remat, see TRAIN_BENCH.md)
   --fused            OOM at batch 24 (saves v/attn per block)
-The fused kernels are the inference/serving optimization; training wants
-plain remat. Fused configs still train correctly when memory allows.
+Fused and plain train at the same speed at the reference recipe; both
+are exact (grad-parity-tested). Use --remat unless serving and training
+share a compiled fused program.
 
 Usage:
   python tools/tbench.py --batch 24 --size 128 --dtype bfloat16 --remat
