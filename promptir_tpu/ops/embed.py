@@ -56,17 +56,30 @@ class OverlapPatchEmbed(nn.Module):
             k, bias = _ProjParams(
                 (3, 3, cin, self.embed_dim), self.use_bias, name="proj"
             )()
-            kw = jnp.pad(k, ((0, 0), (0, 0), (0, 0),
-                             (0, cp - self.embed_dim)))
+            # im2col + dot rather than conv_general_dilated: XLA lowers
+            # this 3-input-channel conv with batch in the sublanes
+            # ({3,0,2,1} output layout) and pays a full-tensor relayout
+            # copy handing the buffer to the Pallas chain entry (measured
+            # conv 2.08 + copy 3.31 ms at 512^2 batch 16). The 9*cin-lane
+            # im2col is tiny (RGB input), and the dot writes the row-major
+            # lane-padded buffer directly — no relayout.
             xin = jnp.pad(
-                x.astype(self.dtype), ((0, 0), (0, 0), (1, wp - w_ - 1),
-                                       (0, 0))
+                x.astype(self.dtype),
+                ((0, 0), (1, 1), (2, wp - w_), (0, 0)),
+            )  # H pad 1 for the taps; W pad = chain left-shift 1 + tap 1
+            cols = jnp.concatenate(
+                [
+                    xin[:, di : di + h_, dj : dj + wp, :]
+                    for di in range(3)
+                    for dj in range(3)
+                ],
+                axis=-1,
+            )  # (B, H, wp, 9*cin), lane index (di*3 + dj)*cin + c
+            wmat = jnp.pad(
+                k.reshape(9 * cin, self.embed_dim),
+                ((0, 0), (0, cp - self.embed_dim)),
             )
-            y = jax.lax.conv_general_dilated(
-                xin, kw.astype(self.dtype),
-                window_strides=(1, 1), padding=((1, 1), (1, 1)),
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            )
+            y = jnp.einsum("bhwk,kd->bhwd", cols, wmat.astype(self.dtype))
             if bias is not None:
                 bw = jnp.pad(bias, (0, cp - self.embed_dim))
                 # bias only on real lanes; pad lanes stay zero. Border
