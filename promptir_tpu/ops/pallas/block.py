@@ -37,6 +37,11 @@ def _pick_th_tail(h, w, cp, two_f, vmem_budget=None):
     Keep the default 44 MB budget: raising it to 64 MB (th=8 -> 16 at
     8x512^2x96) re-measured SLOWER (31.5 vs 28.8 ms whole-block) — the
     bigger working set starves the auto-pipeline's double buffering."""
+    if w % 8:
+        # the v-buffer halo DMAs slice (1, w, cp) rows; Mosaic requires
+        # 8-aligned sublane slices (fails at the 28px latent of a 224px
+        # input) — see gdfn._pick_th
+        return None
     vmem_budget = _gdfn_mod.VMEM_BUDGET if vmem_budget is None else vmem_budget
     s = _gdfn_mod._mxu_pairs(_lanes(two_f // 2))
     two_fv = 2 * (_lanes(two_f // 2) - s)

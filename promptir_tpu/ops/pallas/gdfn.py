@@ -120,6 +120,12 @@ def _pick_th(h: int, w: int, c: int, two_f: int, vmem_budget=None, s=None):
     program pays fixed DMA/issue overhead — th=4 measured ~25% slower than
     th=16 at 4x512^2x48 on v5e (128 MB VMEM). `s` = hybrid-dw MXU pair
     count (adds the im2col + fp32 m-accumulator, shrinks the VPU hidden)."""
+    if w % 8:
+        # halo-row DMAs slice (1, w, cp) rows out of the unpadded hidden
+        # buffers; Mosaic requires sublane-dim slices 8-aligned (fails at
+        # e.g. the 28px latent of a 224px input). Such levels are tiny —
+        # the XLA fallback path handles them.
+        return None
     vmem_budget = VMEM_BUDGET if vmem_budget is None else vmem_budget
     if s is None:
         s = _mxu_pairs(two_f // 2)

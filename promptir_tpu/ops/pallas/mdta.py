@@ -41,6 +41,12 @@ def _pick_th(h: int, w: int, cp: int, vmem_budget=None):
     # taller stripes amortize the 2 halo rows and per-program overhead —
     # see gdfn._pick_th; v5e has 128 MB VMEM so 44 MB of blocks is safe
     # (th=16 at 512px; th=32 measured no faster)
+    if w % 8:
+        # halo-row DMAs slice (1, w, cp) rows out of the unpadded hidden
+        # buffers; Mosaic requires sublane-dim slices 8-aligned (fails at
+        # e.g. the 28px latent of a 224px input). Such levels are tiny —
+        # the XLA fallback path handles them.
+        return None
     vmem_budget = _gdfn_mod.VMEM_BUDGET if vmem_budget is None else vmem_budget
     for th in (64, 32, 16, 8, 4, 2):
         if h % th:

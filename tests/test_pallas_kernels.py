@@ -627,3 +627,21 @@ def test_promptir_fused_remat_grads_match_plain():
             np.asarray(flat[path]), np.asarray(a), rtol=2e-3, atol=2e-4,
             err_msg=jax.tree_util.keystr(path),
         )
+
+
+def test_unaligned_width_falls_back():
+    """w % 8 != 0 must disqualify every fused stripe picker: the halo-row
+    DMAs slice (1, w, cp) rows and Mosaic requires 8-aligned sublane
+    slices (a 224px input's 28px latent level failed TPU compile before
+    this gate). The model path then takes the XLA fallback."""
+    from promptir_tpu.ops.pallas import block as blk
+    from promptir_tpu.ops.pallas import gdfn as g
+    from promptir_tpu.ops.pallas import mdta as m
+    from promptir_tpu.ops.pallas.autodiff import block_fits
+
+    assert g._pick_th(28, 28, 384, 2 * g._lanes(int(384 * 2.66))) is None
+    assert m._pick_th(28, 28, 384) is None
+    assert blk._pick_th_tail(28, 28, 384, 2 * int(384 * 2.66)) is None
+    assert not block_fits(28, 28, 384, 2 * int(384 * 2.66), 8)
+    # aligned shapes keep their stripes
+    assert m._pick_th(32, 32, 384) is not None
