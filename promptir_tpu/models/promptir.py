@@ -94,6 +94,31 @@ class PromptIR(nn.Module):
             )
         return [cls(**common, name=f"{name}_{i}") for i in range(n)]
 
+    def _noise_block(self, name: str, dim: int, heads: int, level: int):
+        """Prompt-interaction TransformerBlock with the same remat policy
+        as `_stack` (level-gated; fused blocks self-checkpoint, so only
+        their plain-XLA fallback paths get jax.checkpoint)."""
+        use_remat = self.remat and (
+            self.remat_levels is None or level in self.remat_levels
+        )
+        common = dict(
+            dim=dim,
+            num_heads=heads,
+            expansion=self.expansion,
+            use_bias=self.use_bias,
+            bias_free_norm=self.bias_free_norm,
+            dtype=self.dtype,
+            fused_ffn=self.fused_ffn,
+        )
+        if self.fused_ffn and not self.use_bias:
+            common["remat_fallback"] = use_remat
+            cls = TransformerBlock
+        else:
+            cls = (
+                nn.remat(TransformerBlock) if use_remat else TransformerBlock
+            )
+        return cls(**common, name=name)
+
     def _run(self, name: str, n: int, dim: int, heads: int, x):
         """One level's block stack, chained in the kernels' padded layout
         when the fused path applies."""
@@ -166,10 +191,9 @@ class PromptIR(nn.Module):
             following Downsample and the decoder seam both consume the
             padded layout without an exit slice)."""
             if not chained:
-                if in_padded is not None:  # producer emitted padded
-                    from promptir_tpu.ops.pallas.block import unpad_nhwc
-
-                    x = unpad_nhwc(x, *in_padded)
+                # Both call sites gate in_padded on the same chain flag, so
+                # a padded input can only arrive when chained is True.
+                assert in_padded is None
                 return self._run(name, n, dim, heads, x), None
             y = apply_block_stack(
                 self._stack(name, n, dim, heads), x,
@@ -215,16 +239,7 @@ class PromptIR(nn.Module):
                 320, 5, 16, 8 * d, dtype=self.dtype, name="prompt3"
             )(x)
             x = jnp.concatenate([x, p3], axis=-1)
-            x = TransformerBlock(
-                8 * d + 320,
-                hs[2],
-                self.expansion,
-                self.use_bias,
-                self.bias_free_norm,
-                self.dtype,
-                self.fused_ffn,
-                name="noise_level3",
-            )(x)
+            x = self._noise_block("noise_level3", 8 * d + 320, hs[2], 4)(x)
             x = conv(4 * d, 1, "reduce_noise_level3")(x)
 
         def _dec_entry(x, enc, enc_padded, n_feat, cout, up_name, red_name,
@@ -295,16 +310,7 @@ class PromptIR(nn.Module):
                 128, 5, 32, 4 * d, dtype=self.dtype, name="prompt2"
             )(x)
             x = jnp.concatenate([x, p2], axis=-1)
-            x = TransformerBlock(
-                4 * d + 128,
-                hs[2],
-                self.expansion,
-                self.use_bias,
-                self.bias_free_norm,
-                self.dtype,
-                self.fused_ffn,
-                name="noise_level2",
-            )(x)
+            x = self._noise_block("noise_level2", 4 * d + 128, hs[2], 3)(x)
             x = conv(4 * d, 1, "reduce_noise_level2")(x)
 
         # --- decoder level 2 ---
@@ -316,16 +322,7 @@ class PromptIR(nn.Module):
                 64, 5, 64, 2 * d, dtype=self.dtype, name="prompt1"
             )(x)
             x = jnp.concatenate([x, p1], axis=-1)
-            x = TransformerBlock(
-                2 * d + 64,
-                hs[2],
-                self.expansion,
-                self.use_bias,
-                self.bias_free_norm,
-                self.dtype,
-                self.fused_ffn,
-                name="noise_level1",
-            )(x)
+            x = self._noise_block("noise_level1", 2 * d + 64, hs[2], 2)(x)
             x = conv(2 * d, 1, "reduce_noise_level1")(x)
 
         # --- decoder level 1 (96ch, no reduce after up) ---

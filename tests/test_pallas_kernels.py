@@ -645,3 +645,47 @@ def test_unaligned_width_falls_back():
     assert not block_fits(28, 28, 384, 2 * int(384 * 2.66), 8)
     # aligned shapes keep their stripes
     assert m._pick_th(32, 32, 384) is not None
+
+
+@pytest.mark.parametrize("hw", [(40, 40), (48, 48), (56, 56), (48, 64)])
+def test_fused_chain_size_sweep(hw):
+    """Shape-robustness sweep of the fused forward (round-4 lesson: the
+    first serve-shaped input, 224px -> 28px latent, hit a Mosaic
+    alignment constraint at round end instead of in CI). These sizes
+    cover every sublane-alignment class the serve grid produces at the
+    U-Net's four levels — w % 8 in {0, 2, 4, 6} and odd widths
+    (40->20->10->5, 48->24->12->6, 56->28->14->7, plus a non-square) —
+    so each picker either engages or falls back, and either way the
+    fused output must match the plain model bit-for-tolerance. The
+    companion on-chip compile sweep at the real 192-448px serve grid is
+    tools/shape_sweep.py (results in SERVE_BENCH.md)."""
+    import functools
+
+    import promptir_tpu.ops.pallas.autodiff as ad
+    from promptir_tpu.models import create_model
+
+    h, w = hw
+    kw = dict(num_blocks=(2, 2, 2, 1), num_refinement_blocks=1)
+    m_ref = create_model("promptir", **kw)
+    m_fused = create_model("promptir", **kw, fused_ffn=True)
+    x = jnp.asarray(
+        np.random.default_rng(h * 1000 + w).uniform(size=(1, h, w, 3))
+        .astype(np.float32)
+    )
+    params = m_ref.init(jax.random.PRNGKey(5), x)
+    ref = m_ref.apply(params, x)
+
+    patched = {
+        n: functools.partial(getattr(ad, n), interpret=True)
+        for n in ("ln_gdfn", "ln_mdta", "ln_block", "ln_block_p")
+    }
+    orig = {n: getattr(ad, n) for n in patched}
+    for n, f in patched.items():
+        setattr(ad, n, f)
+    try:
+        out = m_fused.apply(params, x)
+    finally:
+        for n, f in orig.items():
+            setattr(ad, n, f)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=5e-4,
+                               atol=5e-4)

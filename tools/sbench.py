@@ -150,6 +150,18 @@ def main():
 
     all_lat = sorted(x for v in lat.values() for x in v)
     n = len(all_lat)
+    if n == 0:
+        # Engine saturated / everything shed: report the failure instead
+        # of crashing on an empty percentile index.
+        print(json.dumps({
+            "model": args.model, "buckets": sizes, "clients": args.clients,
+            "seconds": round(elapsed, 2), "completed": 0,
+            "errors": len(errors),
+            "error_sample": errors[:3],
+            "rejected": stats["rejected"] - base_stats["rejected"],
+            "timed_out": stats["timed_out"] - base_stats["timed_out"],
+        }), flush=True)
+        raise SystemExit(1)
     mp = sum(len(v) * (s * s) for s, v in lat.items()) / 1e6
     q = lambda p: all_lat[min(n - 1, int(p * n))] * 1e3  # noqa: E731
     result = {
