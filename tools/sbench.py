@@ -73,11 +73,21 @@ def main():
     init_model = create_model(
         args.model, **{k: v for k, v in kw.items() if k != "fused_ffn"}
     )
-    params = jax.jit(
+    # Params via eval_shape + host RNG (zero remote compiles before the
+    # engine's own warmup — a jitted on-device init is one more
+    # multi-minute relay compile; throughput depends on shapes, not values)
+    shapes = jax.eval_shape(
         lambda: init_model.init(
             jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), dtype)
         )
-    )()
+    )
+    host_rng = np.random.default_rng(0)
+    params = jax.tree.map(
+        lambda s: jax.device_put(
+            (0.02 * host_rng.standard_normal(s.shape)).astype(s.dtype)
+        ),
+        shapes,
+    )
 
     def model_fn(p, x):
         return model.apply(p, x)

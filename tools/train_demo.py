@@ -43,6 +43,11 @@ def main():
     import jax.numpy as jnp
 
     from promptir_tpu.config import Config
+    from promptir_tpu.utils.compile_cache import enable_persistent_cache
+
+    # executables persist across processes (the relay's remote compile of
+    # a fresh shape takes minutes; a warm re-run starts in seconds)
+    enable_persistent_cache()
     from promptir_tpu.data.synthetic import (
         SyntheticDenoiseTestDataset,
         SyntheticTrainDataset,
