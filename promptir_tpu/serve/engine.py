@@ -78,8 +78,16 @@ class InferenceEngine:
 
     Parameters
     ----------
-    model_fn : jitted ``(params, x_nhwc) -> y_nhwc`` forward.
+    model_fn : ``(params, x_nhwc) -> y_nhwc`` forward. Jitted by the
+        engine itself (with the output clip fused into the same program)
+        unless ``jit_model=False`` — round-5 lesson: a caller passing a
+        plain ``model.apply`` otherwise serves every batch EAGERLY,
+        op-by-op (measured 37 s/batch vs 80 ms compiled at 8x224px on the
+        tunneled v5e). Passing an already-jitted fn is fine (jit of jit
+        inlines).
     params : model parameter pytree (already on device / replicated).
+    jit_model : wrap model_fn in ``jax.jit`` (default). Set False only
+        for model_fns with per-call host side effects (tests).
     pad_base : pad each image to multiples of this (8 = demo.py parity;
         use 64 to match the eval path's flip-pad granularity).
     max_batch : the fixed device batch. Every forward runs at exactly this
@@ -111,8 +119,25 @@ class InferenceEngine:
         channels: int = 3,
         max_queue: int = 256,
         request_timeout_s: Optional[float] = None,
+        jit_model: bool = True,
     ):
-        self._model_fn = model_fn
+        if jit_model:
+            import jax
+            import jax.numpy as jnp
+
+            def _compiled(p, x, _fn=model_fn, _clip=bool(clip)):
+                y = _fn(p, x)
+                return jnp.clip(y, 0.0, 1.0) if _clip else y
+
+            self._model_fn = jax.jit(_compiled)
+            self._clip_in_fn = True
+            # the tiler must blend UNclipped tile outputs and clip once at
+            # the end (eval/tiling.py:114), or overlap seams shift
+            self._tile_fn = jax.jit(model_fn)
+        else:
+            self._model_fn = model_fn
+            self._clip_in_fn = False
+            self._tile_fn = model_fn
         self._params = params
         self.channels = int(channels)
         self.pad_base = int(pad_base)
@@ -385,7 +410,7 @@ class InferenceEngine:
 
                     y = np.asarray(
                         tiled_inference(
-                            self._model_fn,
+                            self._tile_fn,
                             self._params,
                             jnp.asarray(group[0].img[None]),
                             tile=self.tile_size,
@@ -402,9 +427,12 @@ class InferenceEngine:
                     for i, r in enumerate(group):
                         xb[i] = pad_image_np(r.img, self.pad_base)
                     y = self._model_fn(self._params, jnp.asarray(xb))
-                    if self.clip:
+                    if self.clip and not self._clip_in_fn:
                         y = jnp.clip(y, 0.0, 1.0)
-                    y = np.asarray(y, dtype=np.float32)
+                    # fetch in the model's native dtype (bf16 halves the
+                    # host transfer — the dominant cost on tunneled
+                    # relays), convert on host
+                    y = np.asarray(y).astype(np.float32, copy=False)
             except Exception as e:  # surface compile/run errors to callers
                 for r in group:
                     self._resolve_exc(r, e)

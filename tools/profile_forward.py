@@ -24,7 +24,8 @@ import re
 import time
 
 
-def run_trace(out_dir: str, iters: int = 4) -> None:
+def run_trace(out_dir: str, iters: int = 4, batch: int = 16,
+              size: int = 512) -> None:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -33,7 +34,7 @@ def run_trace(out_dir: str, iters: int = 4) -> None:
     from promptir_tpu.utils.compile_cache import enable_persistent_cache
 
     enable_persistent_cache()
-    BATCH, SIZE = 16, 512
+    BATCH, SIZE = batch, size
     model = create_model("promptir", dtype=jnp.bfloat16, fused_ffn=True)
     # params host-side (eval_shape + host RNG + device_put), exactly as
     # bench.py: zero remote compiles before the profiled forward
@@ -174,9 +175,12 @@ if __name__ == "__main__":
     ap.add_argument("--out", default="/tmp/prof")
     ap.add_argument("--parse", default=None)
     ap.add_argument("--iters", type=int, default=4)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--size", type=int, default=512,
+                    help="input size (256 profiles bench.py's 256px line)")
     args = ap.parse_args()
     if args.parse:
         parse(args.parse)
     else:
-        run_trace(args.out, args.iters)
+        run_trace(args.out, args.iters, args.batch, args.size)
         parse(args.out)
