@@ -63,6 +63,10 @@ A100_REF_MPS = 7.3
 # original 4x-A100 north star is reserved for multi-chip scaling
 # (BASELINE.md "Goal of record").
 FLOOR_MPS = 6.4
+# 256px batch-64 floor: same per-pixel pass counts, but per-stripe fixed
+# costs amortize over half the row width — measured block-kernel ratio
+# 661.9/685.8 ms/iter at equal MP/iter (PROFILE.md "Per-resolution floor")
+FLOOR_MPS_256 = 6.18
 V5E_BF16_TFLOPS = 197.0  # peak bf16 TFLOP/s of one v5e chip
 GMAC_PER_MP = 2413.0  # reference-counted model cost per output megapixel
 SIZE = 512
@@ -175,7 +179,7 @@ def main():
                 "value": round(mps256, 3),
                 "unit": "MP/s",
                 "vs_baseline": round(mps256 / A100_REF_MPS, 3),
-                "vs_floor": round(mps256 / FLOOR_MPS, 3),
+                "vs_floor": round(mps256 / FLOOR_MPS_256, 3),
             }
         ),
         flush=True,
