@@ -330,28 +330,54 @@ class PromptIR(nn.Module):
         # run them as ONE padded chain (saves an exit slice + entry pad,
         # ~6.6 ms at 512^2 batch 16) and hand the padded exit straight to
         # the output head.
-        x = Upsample(2 * d, self.dtype, name="up2_1")(x)
         in_padded1 = None
         if enc1_padded is not None:
             # padded-space concat (dec1 has no reduce to fold): the up
             # branch lands in lanes 0:d at cols 1:1+w and the skip — still
             # resident in the padded layout from the encoder — shifts to
-            # lanes d:2d. One fusion reads the up-conv output + the padded
-            # skip and writes the chain's padded entry; the skip's
-            # exit-slice, the concat and the entry pad never materialize.
+            # lanes d:2d. Preferred path: ONE Pallas pass reads the raw
+            # up-conv output (ij-major lanes, no shuffle materialization)
+            # + the padded skip and writes the chain's padded entry
+            # (ops/pallas/seam.py — replaces the copy.535/copy.536/
+            # pad_add_fusion trio, 9.0 ms at 512^2x16, PROFILE.md round-5
+            # table). Fallback: the jnp pad+add composition (same math;
+            # the seam kernel is pure data movement, bit-exact).
+            import os
+
+            from promptir_tpu.ops.pallas import seam as _seam_mod
             from promptir_tpu.ops.pallas.gdfn import _lanes
 
             w1, c1 = enc1_padded
             wp1 = enc1.shape[2]
             cp1 = _lanes(2 * d)
-            x = jnp.pad(
-                x, ((0, 0), (0, 0), (1, wp1 - w1 - 1), (0, cp1 - c1))
-            ) + jnp.pad(
-                enc1[:, :, :, :c1],
-                ((0, 0), (0, 0), (0, 0), (c1, cp1 - 2 * c1)),
-            )
+            hc, wc = x.shape[1], x.shape[2]
+            if (
+                os.environ.get("PROMPTIR_SEAM_KERNEL", "1") != "0"
+                and os.environ.get("PROMPTIR_SHUFFLE_IJ", "1") != "0"
+                and 2 * wc == w1
+                and _seam_mod.seam_fits(
+                    hc, wc, _lanes(4 * d), wp1, cp1,
+                    _seam_mod.INTERPRET,
+                )
+            ):
+                up_raw = Upsample(2 * d, self.dtype, name="up2_1")(
+                    x, emit_ij_padded=True
+                )
+                x = _seam_mod.shuffle_concat_pad(
+                    up_raw, enc1, d, interpret=_seam_mod.INTERPRET
+                )
+                assert x is not None  # seam_fits pre-checked the shape
+            else:
+                x = Upsample(2 * d, self.dtype, name="up2_1")(x)
+                x = jnp.pad(
+                    x, ((0, 0), (0, 0), (1, wp1 - w1 - 1), (0, cp1 - c1))
+                ) + jnp.pad(
+                    enc1[:, :, :, :c1],
+                    ((0, 0), (0, 0), (0, 0), (c1, cp1 - 2 * c1)),
+                )
             in_padded1 = (w1, 2 * d)
         else:
+            x = Upsample(2 * d, self.dtype, name="up2_1")(x)
             x = jnp.concatenate([x, enc1], axis=-1)
         x, padded = apply_block_stack(
             self._stack("decoder_level1", nb[0], 2 * d, hs[0])

@@ -301,14 +301,22 @@ class Upsample(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, fold=None) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, fold=None,
+                 emit_ij_padded: bool = False) -> jnp.ndarray:
         """`fold`: optional (n_feat//2, cout) matrix of a 1x1 conv that
         immediately follows the upsample (a decoder `reduce_chan_*` split
         at the concat boundary). Because pixel-shuffle only permutes
         (position, channel), the 1x1 composes into the up-conv KERNEL at
         trace time — same conv cost, and the reduce's separate pass over
         the full-resolution tensor never runs (decoder-seam fusion,
-        PROFILE.md round-4 plan)."""
+        PROFILE.md round-4 plan).
+
+        `emit_ij_padded`: return the RAW conv output (B, H, W, cp) with
+        ij-major lanes zero-widened to a 128 multiple, skipping the
+        shuffle entirely — the caller hands it to the Pallas seam kernel
+        (ops/pallas/seam.py) which performs the interleave during the
+        chain-entry write. Caller must ensure the ij branch applies
+        (single-chip, f % 4 == 0, PROMPTIR_SHUFFLE_IJ != 0)."""
         import os
 
         f = self.n_feat * 2
@@ -338,15 +346,23 @@ class Upsample(nn.Module):
                     idx = jnp.arange(f)
                     perm = (idx % 4) * c + idx // 4  # dest of lane idx
                     w_ij = jnp.zeros_like(w).at[..., perm].set(w)
+                if emit_ij_padded:
+                    cp_in = -(-4 * c // 128) * 128
+                    w_ij = jnp.pad(
+                        w_ij, ((0, 0), (0, 0), (0, 0), (0, cp_in - 4 * c))
+                    )
                 y = jax.lax.conv_general_dilated(
                     x.astype(self.dtype), w_ij.astype(self.dtype),
                     window_strides=(1, 1), padding=((1, 1), (1, 1)),
                     dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 )
+                if emit_ij_padded:
+                    return y
                 b, h, wdt, _ = y.shape
                 y = y.reshape(b, h, wdt, 2, 2, c)
                 y = y.transpose(0, 1, 3, 2, 4, 5)  # (b,h,i,w,j,c)
                 return y.reshape(b, 2 * h, 2 * wdt, c)
+        assert not emit_ij_padded, "emit_ij_padded needs the ij branch"
         x = Conv(
             f,
             (3, 3),

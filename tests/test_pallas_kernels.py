@@ -547,6 +547,7 @@ def test_promptir_fused_chain_matches_unfused():
     import functools
 
     import promptir_tpu.ops.pallas.autodiff as ad
+    import promptir_tpu.ops.pallas.seam as seam
     from promptir_tpu.models import create_model
 
     # 2 blocks at levels 1-3 so every padded-resident seam runs: encoder
@@ -570,9 +571,11 @@ def test_promptir_fused_chain_matches_unfused():
     orig = {n: getattr(ad, n) for n in patched}
     for n, f in patched.items():
         setattr(ad, n, f)
+    seam.INTERPRET = True  # dec1-entry seam kernel joins the chain
     try:
         out = m_fused.apply(params, x)
     finally:
+        seam.INTERPRET = False
         for n, f in orig.items():
             setattr(ad, n, f)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=5e-4,
@@ -662,6 +665,7 @@ def test_fused_chain_size_sweep(hw):
     import functools
 
     import promptir_tpu.ops.pallas.autodiff as ad
+    import promptir_tpu.ops.pallas.seam as seam
     from promptir_tpu.models import create_model
 
     h, w = hw
@@ -682,10 +686,63 @@ def test_fused_chain_size_sweep(hw):
     orig = {n: getattr(ad, n) for n in patched}
     for n, f in patched.items():
         setattr(ad, n, f)
+    seam.INTERPRET = True  # dec1-entry seam kernel joins the chain
     try:
         out = m_fused.apply(params, x)
     finally:
+        seam.INTERPRET = False
         for n, f in orig.items():
             setattr(ad, n, f)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=5e-4,
                                atol=5e-4)
+
+
+def test_seam_kernel_bit_exact_and_grads():
+    """ops/pallas/seam.py: the dec1-entry shuffle+concat+pad kernel is
+    pure data movement — forward AND custom-VJP grads must match the jnp
+    composition bit-for-bit (atol 0)."""
+    import promptir_tpu.ops.pallas.seam as seam
+
+    rng = np.random.default_rng(7)
+    B, Hc, Wc, c = 2, 8, 16, 48
+    cin_p, cp = 256, 128
+    wp = 2 * Wc + 2 + ((-(2 * Wc + 2)) % 8)
+    yc = jnp.asarray(rng.normal(size=(B, Hc, Wc, cin_p)).astype(np.float32))
+    yc = yc.at[..., 4 * c:].set(0)
+    skip = jnp.zeros((B, 2 * Hc, wp, cp), jnp.float32)
+    skip = skip.at[:, :, 1:1 + 2 * Wc, :c].set(
+        jnp.asarray(rng.normal(size=(B, 2 * Hc, 2 * Wc, c))
+                    .astype(np.float32))
+    )
+    ref = seam._xla_seam(yc, skip, c, wp, cp)
+    out = seam.shuffle_concat_pad(yc, skip, c, interpret=True)
+    assert out is not None
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+    gk = jax.grad(
+        lambda a, s: jnp.sum(
+            seam.shuffle_concat_pad(a, s, c, interpret=True) ** 2
+        ),
+        argnums=(0, 1),
+    )(yc, skip)
+    gr = jax.grad(
+        lambda a, s: jnp.sum(seam._xla_seam(a, s, c, wp, cp) ** 2),
+        argnums=(0, 1),
+    )(yc, skip)
+    for a, b in zip(gk, gr):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # misfit shapes return None (odd widths break sublane alignment)
+    assert seam.shuffle_concat_pad(
+        yc[:, :, :15], skip, c, interpret=True
+    ) is None
+
+    # bf16 takes the f32-widened rotate branch (Mosaic has no 16-bit
+    # dynamic_rotate) — still bit-exact: the kernel only moves values
+    # and bf16 -> f32 -> bf16 is the identity
+    yb, sb = yc.astype(jnp.bfloat16), skip.astype(jnp.bfloat16)
+    outb = seam.shuffle_concat_pad(yb, sb, c, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(outb, dtype=np.float32),
+        np.asarray(seam._xla_seam(yb, sb, c, wp, cp), dtype=np.float32),
+    )
